@@ -1,0 +1,215 @@
+"""FlowLM: the autoregressive latent language model.
+
+Mirrors the reference semantics (reference: pocket_tts_mlx/models/flow_lm.py:31-142)
+with a TPU-native decomposition into two jittable pure functions:
+
+  - prefill():     run the backbone over conditioning embeddings (text tokens
+                   and/or speaker audio embeddings) to fill the KV cache.
+                   The reference routes this through the same sampling call
+                   and discards the sample (tts_model.py:389, :512); here
+                   prefill skips the flow head entirely.
+  - decode_step(): one autoregressive step: embed the previous latent (or the
+                   BOS embedding — the reference signals BOS with NaN
+                   sentinels, flow_lm.py:93; here it is an explicit bool
+                   mask), run the backbone on a single position, read the EOS
+                   logit, then integrate the flow-matching ODE from fresh
+                   noise to sample the next 32-d latent.
+
+State is {transformer KV caches, pos[B]} — positions are per-stream int32 so
+heterogeneous batches decode in lockstep.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from pocket_tts_tpu.config.schema import FlowLMConfig
+from pocket_tts_tpu.ops.adaln import SimpleMLPAdaLN
+from pocket_tts_tpu.ops.linear import embedding, linear
+from pocket_tts_tpu.ops.norms import layer_norm
+from pocket_tts_tpu.ops.sampling import lsd_decode, sample_noise
+from pocket_tts_tpu.ops.transformer import StreamingTransformer
+
+Params = dict
+State = dict
+
+
+@dataclass(frozen=True)
+class FlowLMModel:
+    """Static description of FlowLM; params/state are explicit pytrees."""
+
+    config: FlowLMConfig
+    latent_dim: int
+
+    @property
+    def dim(self) -> int:
+        return self.config.transformer.d_model
+
+    @property
+    def ldim(self) -> int:
+        return self.latent_dim
+
+    @property
+    def n_bins(self) -> int:
+        return self.config.lookup_table.n_bins
+
+    @property
+    def transformer(self) -> StreamingTransformer:
+        t = self.config.transformer
+        return StreamingTransformer(
+            d_model=t.d_model,
+            num_heads=t.num_heads,
+            num_layers=t.num_layers,
+            dim_feedforward=int(t.d_model * t.hidden_scale),
+            max_period=float(t.max_period),
+            kind="flow_lm",
+        )
+
+    @property
+    def flow_net(self) -> SimpleMLPAdaLN:
+        return SimpleMLPAdaLN(
+            in_channels=self.latent_dim,
+            model_channels=self.config.flow.dim,
+            out_channels=self.latent_dim,
+            cond_channels=self.dim,
+            num_res_blocks=self.config.flow.depth,
+            num_time_conds=2,
+        )
+
+    # ------------------------------------------------------------------ params
+
+    def init_params(self, key: jax.Array, dtype=jnp.float32) -> Params:
+        keys = jax.random.split(key, 6)
+        dim, ldim = self.dim, self.ldim
+        s_in = 1.0 / (ldim ** 0.5)
+        s_eos = 1.0 / (dim ** 0.5)
+        return {
+            "conditioner": {
+                "embed": {
+                    "weight": jax.random.normal(keys[0], (self.n_bins + 1, dim), dtype=dtype)
+                    * 0.02
+                }
+            },
+            "flow_net": self.flow_net.init_params(keys[1], dtype),
+            "transformer": self.transformer.init_params(keys[2], dtype),
+            "input_linear": {
+                "weight": jax.random.uniform(
+                    keys[3], (dim, ldim), minval=-s_in, maxval=s_in, dtype=dtype
+                )
+            },
+            "out_norm": {"weight": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)},
+            "out_eos": {
+                "weight": jax.random.uniform(
+                    keys[4], (1, dim), minval=-s_eos, maxval=s_eos, dtype=dtype
+                ),
+                "bias": jnp.zeros((1,), dtype),
+            },
+            "bos_emb": jax.random.normal(keys[5], (ldim,), dtype=dtype),
+            "emb_std": jnp.ones((ldim,), dtype=dtype),
+            "emb_mean": jnp.zeros((ldim,), dtype=dtype),
+            "speaker_proj_weight": jnp.zeros((dim, 512), dtype=dtype),
+        }
+
+    def init_state(self, batch_size: int, capacity: int, dtype=jnp.float32) -> State:
+        return {
+            "transformer": self.transformer.init_state(batch_size, capacity, dtype),
+            "pos": jnp.zeros((batch_size,), dtype=jnp.int32),
+        }
+
+    # ------------------------------------------------------------------ embed
+
+    def embed_text(self, params: Params, tokens: jnp.ndarray) -> jnp.ndarray:
+        """Token ids [B, T] -> conditioning embeddings [B, T, d_model]."""
+        return embedding(tokens, params["conditioner"]["embed"]["weight"])
+
+    def project_speaker(self, params: Params, latents: jnp.ndarray) -> jnp.ndarray:
+        """Mimi encoder latents [B, T, 512] -> conditioning [B, T, d_model]
+        (reference: pocket_tts_mlx/models/tts_model.py:271-276)."""
+        return jnp.matmul(
+            latents.astype(jnp.float32), params["speaker_proj_weight"].T.astype(jnp.float32)
+        )
+
+    # ------------------------------------------------------------------ apply
+
+    def prefill(
+        self,
+        params: Params,
+        state: State,
+        embeddings: jnp.ndarray,  # [B, T, d_model], right-padded per stream
+        lengths: jnp.ndarray,  # int32 [B]: valid length per stream
+    ) -> State:
+        """Fill the KV cache with conditioning embeddings.
+
+        Padded positions do write garbage cache slots beyond pos+length, but
+        those slots sit above each stream's advanced position, are masked by
+        the causal rule, and are overwritten by the next write at exactly
+        pos+length — so right-padding is safe with no scatter masking.
+        """
+        out, transformer_state = self.transformer(
+            params["transformer"], embeddings, state["transformer"], state["pos"]
+        )
+        del out
+        return {"transformer": transformer_state, "pos": state["pos"] + lengths}
+
+    def decode_step(
+        self,
+        params: Params,
+        state: State,
+        latent: jnp.ndarray,  # [B, ldim] previous latent (ignored where is_bos)
+        is_bos: jnp.ndarray,  # bool [B]
+        rng: jax.Array,
+        temp: jnp.ndarray | float,
+        lsd_decode_steps: int,
+        noise_clamp: Optional[float],
+        eos_threshold: jnp.ndarray | float,
+    ) -> tuple[State, jnp.ndarray, jnp.ndarray]:
+        """One autoregressive step -> (state, next_latent [B, ldim], is_eos [B])."""
+        B = latent.shape[0]
+        seq = jnp.where(is_bos[:, None], params["bos_emb"][None, :].astype(latent.dtype), latent)
+        x = linear(seq[:, None, :], params["input_linear"]["weight"])  # [B, 1, dim]
+
+        h, transformer_state = self.transformer(
+            params["transformer"], x, state["transformer"], state["pos"]
+        )
+        h = layer_norm(
+            h, params["out_norm"]["weight"], params["out_norm"]["bias"], eps=1e-5
+        ).astype(jnp.float32)
+        h = h[:, -1]  # [B, dim]
+
+        eos_logits = linear(h, params["out_eos"]["weight"], params["out_eos"]["bias"])[:, 0]
+        is_eos = eos_logits > eos_threshold
+
+        noise = sample_noise(rng, (B, self.ldim), temp, noise_clamp)
+        flow = self.flow_net
+
+        def v_t(s, t, x_cur):
+            return flow(params["flow_net"], h, s, t, x_cur)
+
+        next_latent = lsd_decode(v_t, noise, lsd_decode_steps)
+        new_state = {"transformer": transformer_state, "pos": state["pos"] + 1}
+        return new_state, next_latent, is_eos
+
+    # ------------------------------------------------------------------ state utils
+
+    def expand_state(self, state: State, capacity: int) -> State:
+        """Grow KV capacity (zero-padded) to at least `capacity`.
+
+        Functional analogue of the reference's in-place cache expansion
+        (reference: pocket_tts_mlx/models/tts_model.py:278-295)."""
+        def grow(leaf):
+            if leaf.ndim == 4 and leaf.shape[2] < capacity:  # [B, H, cap, d]
+                pad = capacity - leaf.shape[2]
+                return jnp.pad(leaf, ((0, 0), (0, 0), (0, pad), (0, 0)))
+            return leaf
+
+        return {
+            "transformer": jax.tree_util.tree_map(grow, state["transformer"]),
+            "pos": state["pos"],
+        }
+
+    def state_capacity(self, state: State) -> int:
+        return state["transformer"]["layers"][0]["k"].shape[2]

@@ -1,0 +1,753 @@
+"""End-to-end TTS pipeline: conditioning -> FlowLM decode loop -> Mimi vocoder.
+
+Public API mirrors the reference `TTSModel`
+(reference: pocket_tts_mlx/models/tts_model.py:54-518): `load_model`,
+`get_state_for_audio_prompt`, `generate_audio`, `generate_audio_stream`, the
+same defaults and the same text normalization/chunking rules.
+
+TPU-native execution model (differs deliberately from the reference's
+per-frame Python loop with a device sync every frame, tts_model.py:402-428):
+
+  - The whole generate step — FlowLM transformer step, EOS test, noise
+    sampling, flow-matching ODE, Mimi frame decode — is ONE jitted function.
+  - Frames are generated in `lax.scan` segments; EOS bookkeeping (eos_step,
+    frames_after_eos tail, per-stream max_gen_len) lives on-device in the
+    scan carry, and the host syncs once per segment to pull audio and check
+    completion, not once per frame.
+  - All state (KV caches, conv overlaps, ring buffers, positions) is an
+    explicit pytree with static shapes; KV capacity is bucketed so repeated
+    calls hit the jit cache.
+  - Everything is batch-first: `generate_audio_batch` decodes B concurrent
+    streams with per-stream positions, EOS and lengths (the reference is
+    hard-coded to batch 1, tts_model.py:383).
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import time
+from pathlib import Path
+from typing import Dict, Generator, Iterable, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pocket_tts_tpu.config.schema import Config, builtin_config_path, load_config
+from pocket_tts_tpu.data.audio import audio_read
+from pocket_tts_tpu.data.audio_utils import convert_audio
+from pocket_tts_tpu.default_parameters import (
+    DEFAULT_EOS_THRESHOLD,
+    DEFAULT_LSD_DECODE_STEPS,
+    DEFAULT_NOISE_CLAMP,
+    DEFAULT_SEGMENT_FRAMES,
+    DEFAULT_TEMPERATURE,
+    DEFAULT_VARIANT,
+    KV_CAPACITY_BUCKET,
+    MAX_TOKEN_PER_CHUNK,
+)
+from pocket_tts_tpu.models.flow_lm import FlowLMModel
+from pocket_tts_tpu.models.mimi import MimiModel
+from pocket_tts_tpu.models.text import (
+    estimate_max_gen_len,
+    make_tokenizer,
+    prepare_text_prompt,
+    split_into_best_sentences,
+)
+from pocket_tts_tpu.models.weights import load_state_dict
+from pocket_tts_tpu.utils.assets import download_if_necessary
+from pocket_tts_tpu.utils.safetensors import load_safetensors
+from pocket_tts_tpu.utils.timing import display_execution_time, size_of_pytree
+
+logger = logging.getLogger(__name__)
+
+_EOS_NEVER = np.int32(2**30)  # sentinel: EOS not seen yet
+
+# Predefined voice embeddings (speaker-conditioning prefill tensors), same
+# assets as the reference (reference: pocket_tts_mlx/utils/weight_conversion.py:31-35).
+_VOICE_NAMES = ["alba", "marius", "javert", "jean", "fantine", "cosette", "eponine", "azelma"]
+PREDEFINED_VOICES = {
+    name: (
+        "hf://kyutai/pocket-tts-without-voice-cloning/embeddings/"
+        f"{name}.safetensors@d4fdd22ae8c8e1cb3634e150ebeff1dab2d16df3"
+    )
+    for name in _VOICE_NAMES
+}
+
+VOICE_CLONING_UNSUPPORTED = (
+    "We could not download the weights for the model with voice cloning, "
+    "but you're trying to use voice cloning. "
+    f"Without voice cloning, you can use our catalog of voices {list(PREDEFINED_VOICES)}. "
+    "If you want access to the model with voice cloning, go to "
+    "https://huggingface.co/kyutai/pocket-tts and accept the terms, "
+    "then make sure you're logged in locally with `hf auth login`."
+)
+
+
+def _bucket(n: int, bucket: int = KV_CAPACITY_BUCKET) -> int:
+    return max(bucket, ((n + bucket - 1) // bucket) * bucket)
+
+
+class ModelState:
+    """Handle around the FlowLM voice/continuation state.
+
+    The underlying pytree is immutable (functional updates), so 'deep copy'
+    semantics of the reference (tts_model.py:372-373) are free: passing the
+    same ModelState to many generations with copy_state=True reuses the same
+    device buffers. `pos` mirrors the device-side stream positions on the
+    host so orchestration never needs a device sync to size caches.
+    """
+
+    def __init__(self, tree: Dict, pos: list[int]):
+        self.tree = tree
+        self.pos = list(pos)
+
+    @property
+    def batch_size(self) -> int:
+        return len(self.pos)
+
+    def size_bytes(self) -> int:
+        return size_of_pytree(self.tree)
+
+
+class TTSModel:
+    """Text-to-speech pipeline with speaker conditioning, FlowLM, and Mimi."""
+
+    _TOKENS_PER_SECOND_ESTIMATE = 3.0
+    _GEN_SECONDS_PADDING = 2.0
+    _MIMI_WARMUP_FRAMES = 1
+
+    def __init__(
+        self,
+        flow_lm: FlowLMModel,
+        mimi: MimiModel,
+        params: Dict,
+        tokenizer,
+        temp: float,
+        lsd_decode_steps: int,
+        noise_clamp: Optional[float],
+        eos_threshold: float,
+        config: Config,
+        seed: int = 0,
+        matmul_precision: str = "default",
+    ):
+        self.flow_lm = flow_lm
+        self.mimi = mimi
+        self.params = params
+        self.tokenizer = tokenizer
+        self.temp = float(temp)
+        self.lsd_decode_steps = int(lsd_decode_steps)
+        self.noise_clamp = noise_clamp
+        self.eos_threshold = float(eos_threshold)
+        self.config = config
+        self.has_voice_cloning = True
+        self.random_init = False  # set when no checkpoint was reachable
+        self.matmul_precision = matmul_precision
+        self._rng = jax.random.PRNGKey(seed)
+        self._jit_cache: Dict = {}
+        self._voice_state_cache: Dict = {}
+
+    # ------------------------------------------------------------------ props
+
+    @property
+    def sample_rate(self) -> int:
+        return self.config.mimi.sample_rate
+
+    @property
+    def frame_size(self) -> int:
+        return self.mimi.frame_size
+
+    # ------------------------------------------------------------------ build
+
+    @classmethod
+    def load_model(
+        cls,
+        config: Union[str, Path] = DEFAULT_VARIANT,
+        temp: Union[float, int] = DEFAULT_TEMPERATURE,
+        lsd_decode_steps: int = DEFAULT_LSD_DECODE_STEPS,
+        noise_clamp: Union[float, int, None] = DEFAULT_NOISE_CLAMP,
+        eos_threshold: float = DEFAULT_EOS_THRESHOLD,
+        *,
+        seed: int = 0,
+        param_dtype: str = "float32",
+        matmul_precision: str = "default",
+        allow_random_init: bool = True,
+    ) -> "TTSModel":
+        """Create a TTSModel and load checkpoint weights.
+
+        Mirrors the reference loader (tts_model.py:202-221) including the
+        voice-cloning fallback; additionally, when no checkpoint is reachable
+        at all (air-gapped machine) and allow_random_init is True, the model
+        starts from random weights with a warning instead of failing.
+        """
+        if str(config).endswith(".yaml"):
+            cfg = load_config(Path(config))
+            logger.info("Loading model from config at %s...", config)
+        else:
+            cfg = load_config(builtin_config_path(str(config)))
+
+        flow_lm = FlowLMModel(config=cfg.flow_lm, latent_dim=cfg.mimi.quantizer.dimension)
+        mimi = MimiModel(config=cfg.mimi)
+
+        dtype = jnp.dtype(param_dtype)
+        key = jax.random.PRNGKey(seed)
+        k_flow, k_mimi = jax.random.split(key)
+        params = {
+            "flow_lm": flow_lm.init_params(k_flow, dtype),
+            "mimi": mimi.init_params(k_mimi, dtype),
+        }
+
+        tokenizer = make_tokenizer(
+            cfg.flow_lm.lookup_table.n_bins, str(cfg.flow_lm.lookup_table.tokenizer_path)
+        )
+
+        model = cls(
+            flow_lm=flow_lm,
+            mimi=mimi,
+            params=params,
+            tokenizer=tokenizer,
+            temp=temp,
+            lsd_decode_steps=lsd_decode_steps,
+            noise_clamp=noise_clamp,
+            eos_threshold=eos_threshold,
+            config=cfg,
+            seed=seed,
+            matmul_precision=matmul_precision,
+        )
+        model._load_weights(cfg, dtype, allow_random_init)
+        logger.info(
+            "TTS Model loaded successfully. Size ~%d MB", size_of_pytree(params) // 1_000_000
+        )
+        return model
+
+    def _load_weights(self, cfg: Config, dtype, allow_random_init: bool) -> None:
+        """Checkpoint resolution mirroring reference tts_model.py:105-199."""
+        if cfg.flow_lm.weights_path is not None:
+            if cfg.mimi.weights_path is None:
+                raise ValueError(
+                    "If you specify flow_lm.weights_path you should specify mimi.weights_path"
+                )
+            flat = load_safetensors(download_if_necessary(str(cfg.flow_lm.weights_path)))
+            n, s = load_state_dict(self.params["flow_lm"], flat, dtype)
+            logger.info("Loaded FlowLM state dict: %d tensors (%d skipped)", n, s)
+            flat = load_safetensors(download_if_necessary(str(cfg.mimi.weights_path)))
+            n, s = load_state_dict(self.params["mimi"], flat, dtype, strip_prefix="model.")
+            logger.info("Loaded Mimi state dict: %d tensors (%d skipped)", n, s)
+
+        if cfg.weights_path is not None:
+            weights_file = None
+            try:
+                weights_file = download_if_necessary(cfg.weights_path)
+            except Exception:
+                self.has_voice_cloning = False
+                try:
+                    weights_file = download_if_necessary(cfg.weights_path_without_voice_cloning)
+                except Exception:
+                    if not allow_random_init:
+                        raise
+                    self.random_init = True
+                    logger.warning(
+                        "No checkpoint reachable (offline?). Using RANDOM weights — "
+                        "audio will be noise. Pass a local path in the config to fix."
+                    )
+            if weights_file is not None:
+                flat = load_safetensors(weights_file)
+                loaded, skipped = load_state_dict(self.params, flat, dtype)
+                logger.info("Loaded %d weights, skipped %d", loaded, skipped)
+
+        if cfg.flow_lm.weights_path is None and cfg.weights_path is None:
+            logger.warning("No weights_path specified, model is uninitialized!")
+
+    # ------------------------------------------------------------------ jits
+
+    def _jit(self, key, builder):
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn = builder()
+            self._jit_cache[key] = fn
+        return fn
+
+    def _precision(self):
+        return jax.default_matmul_precision(self.matmul_precision)
+
+    def _prefill_jit(self, B: int, T: int, capacity: int):
+        def build():
+            flow_lm = self.flow_lm
+
+            def fn_tokens(params, state, tokens, lengths):
+                with self._precision():
+                    emb = flow_lm.embed_text(params["flow_lm"], tokens)
+                    return flow_lm.prefill(params["flow_lm"], state, emb, lengths)
+
+            def fn_cond(params, state, cond, lengths):
+                with self._precision():
+                    return flow_lm.prefill(params["flow_lm"], state, cond, lengths)
+
+            return {
+                "tokens": jax.jit(fn_tokens),
+                "cond": jax.jit(fn_cond),
+            }
+
+        return self._jit(("prefill", B, T, capacity), build)
+
+    def _mimi_frame_jit(self, B: int):
+        def build():
+            mimi = self.mimi
+
+            def fn(params, latent, mimi_state):
+                with self._precision():
+                    x = (
+                        latent * params["flow_lm"]["emb_std"] + params["flow_lm"]["emb_mean"]
+                    )[:, :, None]
+                    quantized = mimi.quantize(params["mimi"], x)
+                    frame, mimi_state = mimi.decode_from_latent(
+                        params["mimi"], quantized, mimi_state
+                    )
+                    return frame[:, 0, :], mimi_state
+
+            return jax.jit(fn)
+
+        return self._jit(("mimi_frame", B), build)
+
+    def _segment_jit(self, B: int, S: int, capacity: int):
+        lsd_steps = self.lsd_decode_steps
+        noise_clamp = self.noise_clamp
+
+        def build():
+            flow_lm = self.flow_lm
+            mimi = self.mimi
+
+            def fn(params, flow_state, mimi_state, carry, rng, temp, eos_threshold):
+                with self._precision():
+                    def step(loop_carry, _):
+                        flow_state, mimi_state, c = loop_carry
+                        rng_i = jax.random.fold_in(rng, c["step"])
+                        flow_state, next_latent, is_eos = flow_lm.decode_step(
+                            params["flow_lm"],
+                            flow_state,
+                            c["latent"],
+                            c["is_bos"],
+                            rng_i,
+                            temp,
+                            lsd_steps,
+                            noise_clamp,
+                            eos_threshold,
+                        )
+                        eos_step = jnp.where(
+                            is_eos, jnp.minimum(c["eos_step"], c["step"]), c["eos_step"]
+                        )
+                        emit = (c["step"] < eos_step + c["frames_after_eos"]) & (
+                            c["step"] < c["max_gen"]
+                        )
+                        mimi_in = (
+                            next_latent * params["flow_lm"]["emb_std"]
+                            + params["flow_lm"]["emb_mean"]
+                        )[:, :, None]
+                        quantized = mimi.quantize(params["mimi"], mimi_in)
+                        frame, mimi_state = mimi.decode_from_latent(
+                            params["mimi"], quantized, mimi_state
+                        )
+                        new_c = {
+                            "latent": next_latent,
+                            "is_bos": jnp.zeros_like(c["is_bos"]),
+                            "eos_step": eos_step,
+                            "step": c["step"] + 1,
+                            "frames_after_eos": c["frames_after_eos"],
+                            "max_gen": c["max_gen"],
+                        }
+                        return (flow_state, mimi_state, new_c), (frame[:, 0, :], emit)
+
+                    (flow_state, mimi_state, carry), (audio, emit) = jax.lax.scan(
+                        step, (flow_state, mimi_state, carry), None, length=S
+                    )
+                    steps_target = jnp.minimum(
+                        carry["eos_step"] + carry["frames_after_eos"] + 1, carry["max_gen"]
+                    )
+                    all_done = jnp.all(carry["step"] >= steps_target)
+                    audio = jnp.transpose(audio, (1, 0, 2))  # [B, S, frame]
+                    emit = jnp.transpose(emit, (1, 0))  # [B, S]
+                    return flow_state, mimi_state, carry, audio, emit, all_done
+
+            return jax.jit(fn, donate_argnums=(1, 2, 3))
+
+        return self._jit(("segment", B, S, capacity, lsd_steps, noise_clamp), build)
+
+    def _encode_audio_jit(self, B: int, T: int):
+        def build():
+            mimi = self.mimi
+            flow_lm = self.flow_lm
+
+            def fn(params, audio):
+                with self._precision():
+                    encoded = mimi.encode_to_latent(params["mimi"], audio)  # [B, 512, T']
+                    latents = jnp.transpose(encoded, (0, 2, 1)).astype(jnp.float32)
+                    return flow_lm.project_speaker(params["flow_lm"], latents)
+
+            return jax.jit(fn)
+
+        return self._jit(("encode_audio", B, T), build)
+
+    # ------------------------------------------------------------------ voice state
+
+    def _encode_audio(self, audio: np.ndarray) -> jnp.ndarray:
+        """Waveform [B, C, T] -> speaker conditioning [B, T', d_model]
+        (reference: tts_model.py:271-276)."""
+        audio = jnp.asarray(audio, dtype=jnp.float32)
+        fn = self._encode_audio_jit(audio.shape[0], audio.shape[-1])
+        return fn(self.params, audio)
+
+    def get_state_for_audio_prompt(
+        self, audio_conditioning: Union[Path, str, np.ndarray], truncate: bool = False
+    ) -> ModelState:
+        """Build the FlowLM state for a voice: predefined name, WAV path/URI,
+        or a raw [C, T] / [T] waveform array (reference: tts_model.py:484-518)."""
+        if isinstance(audio_conditioning, str) and audio_conditioning in PREDEFINED_VOICES:
+            try:
+                voice_file = download_if_necessary(PREDEFINED_VOICES[audio_conditioning])
+                tensors = load_safetensors(voice_file)
+                if "audio_prompt" not in tensors:
+                    raise KeyError("audio_prompt not found in voice embedding file")
+                prompt = jnp.asarray(tensors["audio_prompt"], dtype=jnp.float32)
+            except Exception:
+                # With random weights (offline dev/bench), a synthetic prompt
+                # keeps the pipeline runnable; with real weights this is an error.
+                if not self.random_init:
+                    raise
+                logger.warning(
+                    "Voice asset '%s' unreachable; using a synthetic random prompt "
+                    "(weights are random anyway).",
+                    audio_conditioning,
+                )
+                seed = sum(audio_conditioning.encode())
+                prompt = (
+                    jax.random.normal(
+                        jax.random.PRNGKey(seed), (1, 125, self.flow_lm.dim), dtype=jnp.float32
+                    )
+                    * 0.02
+                )
+        else:
+            if not self.has_voice_cloning and isinstance(audio_conditioning, (str, Path)):
+                raise ValueError(VOICE_CLONING_UNSUPPORTED)
+            if isinstance(audio_conditioning, str):
+                audio_conditioning = download_if_necessary(audio_conditioning)
+            if isinstance(audio_conditioning, Path):
+                audio, sr = audio_read(audio_conditioning)
+                if truncate:
+                    max_samples = int(30 * sr)
+                    if audio.shape[-1] > max_samples:
+                        audio = audio[..., :max_samples]
+                        logger.info("Audio truncated to 30 seconds")
+                audio_conditioning = convert_audio(audio, sr, self.sample_rate, 1)
+            with display_execution_time("Encoding audio prompt"):
+                prompt = self._encode_audio(np.asarray(audio_conditioning)[None, ...])
+                prompt.block_until_ready()
+
+        return self._state_from_prompt(prompt)
+
+    def _state_from_prompt(self, prompt: jnp.ndarray) -> ModelState:
+        """Prefill a fresh KV cache with conditioning embeddings [B, T, dim]."""
+        B, T, _ = prompt.shape
+        capacity = _bucket(T)
+        state = self.flow_lm.init_state(B, capacity)
+        lengths = jnp.full((B,), T, dtype=jnp.int32)
+        fns = self._prefill_jit(B, T, capacity)
+        with display_execution_time("Prompting audio"):
+            state = fns["cond"](self.params, state, prompt, lengths)
+            jax.block_until_ready(state)
+        model_state = ModelState(state, [T] * B)
+        logger.info(
+            "Size of the model state for audio prompt: %d MB",
+            model_state.size_bytes() // 1_000_000,
+        )
+        return model_state
+
+    def _cached_get_state_for_audio_prompt(
+        self, audio_conditioning: Union[Path, str], truncate: bool = False
+    ) -> ModelState:
+        """Two-entry cache mirroring reference tts_model.py:478-482."""
+        key = (str(audio_conditioning), truncate)
+        if key not in self._voice_state_cache:
+            if len(self._voice_state_cache) >= 2:
+                self._voice_state_cache.pop(next(iter(self._voice_state_cache)))
+            self._voice_state_cache[key] = self.get_state_for_audio_prompt(
+                audio_conditioning, truncate
+            )
+        return self._voice_state_cache[key]
+
+    # ------------------------------------------------------------------ generation
+
+    def generate_audio(
+        self,
+        model_state: ModelState,
+        text_to_generate: str,
+        max_tokens: int = MAX_TOKEN_PER_CHUNK,
+        frames_after_eos: Optional[int] = None,
+        copy_state: bool = True,
+        trim_start_ms: int = 0,
+        fade_in_ms: int = 0,
+        warmup_frames: int = _MIMI_WARMUP_FRAMES,
+    ) -> np.ndarray:
+        """Generate a full utterance as a 1-D float32 waveform at 24 kHz."""
+        chunks = list(
+            self.generate_audio_stream(
+                model_state=model_state,
+                text_to_generate=text_to_generate,
+                max_tokens=max_tokens,
+                frames_after_eos=frames_after_eos,
+                copy_state=copy_state,
+                warmup_frames=warmup_frames,
+            )
+        )
+        audio = np.concatenate(chunks, axis=0)
+        return self._postprocess_audio_start(audio, trim_start_ms, fade_in_ms)
+
+    def generate_audio_stream(
+        self,
+        model_state: ModelState,
+        text_to_generate: str,
+        max_tokens: int = MAX_TOKEN_PER_CHUNK,
+        frames_after_eos: Optional[int] = None,
+        copy_state: bool = True,
+        warmup_frames: int = _MIMI_WARMUP_FRAMES,
+    ) -> Generator[np.ndarray, None, None]:
+        """Yield 80 ms audio frames (1920 float32 samples) as they decode."""
+        chunks = split_into_best_sentences(self.tokenizer, text_to_generate, max_tokens)
+        for chunk in chunks:
+            _, frames_after_eos_guess = prepare_text_prompt(chunk)
+            frames_after_eos_guess += 2
+            effective = (
+                frames_after_eos if frames_after_eos is not None else frames_after_eos_guess
+            )
+            yield from self._generate_stream_chunk(
+                model_state=model_state,
+                text=chunk,
+                frames_after_eos=effective,
+                copy_state=copy_state,
+                warmup_frames=warmup_frames,
+            )
+
+    def _next_rng(self) -> jax.Array:
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
+    def _generate_stream_chunk(
+        self,
+        model_state: ModelState,
+        text: str,
+        frames_after_eos: int,
+        copy_state: bool,
+        warmup_frames: int,
+    ) -> Generator[np.ndarray, None, None]:
+        """Single-chunk generation for batch size 1 (the reference code path)."""
+        for frames, _ in self._generate_batch_frames(
+            model_state=model_state,
+            texts=[text],
+            frames_after_eos=[frames_after_eos],
+            copy_state=copy_state,
+            warmup_frames=warmup_frames,
+        ):
+            yield frames[0]
+
+    def _generate_batch_frames(
+        self,
+        model_state: ModelState,
+        texts: Sequence[str],
+        frames_after_eos: Sequence[int],
+        copy_state: bool,
+        warmup_frames: int,
+        segment_frames: int = DEFAULT_SEGMENT_FRAMES,
+    ):
+        """Core batched decode loop.
+
+        Yields (frames, emit) pairs per generated step, where frames is
+        [B, frame_size] float32 and emit is [B] bool. Generator-based so both
+        the streaming API and the batch API share one implementation.
+        """
+        tree = model_state.tree
+        B = model_state.batch_size
+        assert len(texts) == B and len(frames_after_eos) == B
+
+        token_lists = [self.tokenizer.encode(t) for t in texts]
+        token_counts = [len(t) for t in token_lists]
+        max_gen = [
+            estimate_max_gen_len(c, self.config.mimi.frame_rate) for c in token_counts
+        ]
+        t_pad = _bucket(max(token_counts), 32)
+        tokens = np.zeros((B, t_pad), dtype=np.int32)
+        for b, toks in enumerate(token_lists):
+            tokens[b, : len(toks)] = toks
+        lengths = np.asarray(token_counts, dtype=np.int32)
+
+        required = max(p + c + g for p, c, g in zip(model_state.pos, token_counts, max_gen))
+        capacity = _bucket(required)
+        if self.flow_lm.state_capacity(tree) < capacity:
+            tree = self.flow_lm.expand_state(tree, capacity)
+        else:
+            capacity = self.flow_lm.state_capacity(tree)
+
+        # Mimi decoder state + warmup (reference: tts_model.py:464-476).
+        mimi_state = self.mimi.init_decode_state(B)
+        if warmup_frames > 0:
+            frame_fn = self._mimi_frame_jit(B)
+            zero_latent = jnp.zeros((B, self.flow_lm.ldim), dtype=jnp.float32)
+            for _ in range(warmup_frames):
+                _, mimi_state = frame_fn(self.params, zero_latent, mimi_state)
+
+        t_generating = time.monotonic()
+        with display_execution_time("Prompting text"):
+            prefill = self._prefill_jit(B, t_pad, capacity)["tokens"]
+            flow_state = prefill(self.params, tree, jnp.asarray(tokens), jnp.asarray(lengths))
+            jax.block_until_ready(flow_state)
+
+        carry = {
+            "latent": jnp.zeros((B, self.flow_lm.ldim), dtype=jnp.float32),
+            "is_bos": jnp.ones((B,), dtype=jnp.bool_),
+            "eos_step": jnp.full((B,), _EOS_NEVER, dtype=jnp.int32),
+            "step": jnp.zeros((), dtype=jnp.int32),
+            "frames_after_eos": jnp.asarray(frames_after_eos, dtype=jnp.int32),
+            "max_gen": jnp.asarray(max_gen, dtype=jnp.int32),
+        }
+        rng = self._next_rng()
+        temp = jnp.float32(self.temp)
+        eos_threshold = jnp.float32(self.eos_threshold)
+
+        max_gen_all = int(max(max_gen))
+        # Segment schedule: tiny first segments for fast time-to-first-audio,
+        # then steady-state batches of `segment_frames`.
+        schedule: list[int] = []
+        total = 0
+        for s in (1, 1, 2):
+            if total + s <= max_gen_all:
+                schedule.append(s)
+                total += s
+        while total < max_gen_all:
+            s = min(segment_frames, max_gen_all - total)
+            schedule.append(s)
+            total += s
+
+        steps_ran = 0
+        total_emitted_samples = 0
+        for seg in schedule:
+            seg_fn = self._segment_jit(B, seg, capacity)
+            flow_state, mimi_state, carry, audio, emit, all_done = seg_fn(
+                self.params, flow_state, mimi_state, carry, rng, temp, eos_threshold
+            )
+            audio_np, emit_np, done = jax.device_get((audio, emit, all_done))
+            steps_ran += seg
+            for s in range(seg):
+                if not emit_np[:, s].any():
+                    continue
+                total_emitted_samples += int(emit_np[:, s].sum()) * audio_np.shape[-1]
+                yield audio_np[:, s, :], emit_np[:, s]
+            if bool(done):
+                break
+
+        # Restore exact continuation semantics: FlowLM ran
+        # min(eos_step + frames_after_eos + 1, max_gen) steps per stream in the
+        # reference loop (tts_model.py:402-412); rewind positions past any
+        # extra masked steps computed inside the last segment. Slots above pos
+        # are causally masked and later overwritten, so no cache cleanup needed.
+        eos_step_np = np.asarray(jax.device_get(carry["eos_step"]))
+        steps_entered = np.minimum(
+            np.minimum(eos_step_np + np.asarray(frames_after_eos) + 1, np.asarray(max_gen)),
+            steps_ran,
+        )
+        new_pos = [
+            int(p + c + s) for p, c, s in zip(model_state.pos, token_counts, steps_entered)
+        ]
+        if not copy_state:
+            model_state.tree = {
+                "transformer": flow_state["transformer"],
+                "pos": jnp.asarray(new_pos, dtype=jnp.int32),
+            }
+            model_state.pos = new_pos
+
+        duration_ms = int(total_emitted_samples / B * 1000 / self.sample_rate)
+        generation_ms = int((time.monotonic() - t_generating) * 1000)
+        rtf = duration_ms / max(1, generation_ms)
+        logger.info(
+            "Generated: %d ms of audio in %d ms so %.2fx faster than real-time",
+            duration_ms,
+            generation_ms,
+            rtf,
+        )
+
+    def generate_audio_batch(
+        self,
+        model_states: Union[ModelState, Sequence[ModelState]],
+        texts: Sequence[str],
+        frames_after_eos: Optional[int] = None,
+        warmup_frames: int = _MIMI_WARMUP_FRAMES,
+        trim_start_ms: int = 0,
+        fade_in_ms: int = 0,
+    ) -> list[np.ndarray]:
+        """Decode many utterances concurrently on one chip (TPU-native
+        capability; the reference synthesizes strictly one stream at a time).
+
+        Each text must fit in a single chunk (use generate_audio for long
+        scripts). model_states may be one shared voice or one per stream.
+        """
+        if isinstance(model_states, ModelState):
+            model_states = [model_states] * len(texts)
+        batched = stack_states(self.flow_lm, list(model_states))
+
+        fae = []
+        for t in texts:
+            _, guess = prepare_text_prompt(t)
+            fae.append(frames_after_eos if frames_after_eos is not None else guess + 2)
+
+        per_stream: list[list[np.ndarray]] = [[] for _ in texts]
+        for frames, emit in self._generate_batch_frames(
+            model_state=batched,
+            texts=list(texts),
+            frames_after_eos=fae,
+            copy_state=True,
+            warmup_frames=warmup_frames,
+        ):
+            for b in range(len(texts)):
+                if emit[b]:
+                    per_stream[b].append(frames[b])
+
+        out = []
+        for chunks in per_stream:
+            audio = (
+                np.concatenate(chunks, axis=0) if chunks else np.zeros((0,), dtype=np.float32)
+            )
+            out.append(self._postprocess_audio_start(audio, trim_start_ms, fade_in_ms))
+        return out
+
+    # ------------------------------------------------------------------ post
+
+    def _postprocess_audio_start(
+        self, audio: np.ndarray, trim_start_ms: int, fade_in_ms: int
+    ) -> np.ndarray:
+        """Trim/fade the onset (reference: tts_model.py:446-462)."""
+        sample_rate = self.sample_rate
+        if trim_start_ms > 0:
+            trim = int(sample_rate * trim_start_ms / 1000)
+            if 0 < trim < audio.shape[0]:
+                audio = audio[trim:]
+        if fade_in_ms > 0 and audio.shape[0] > 1:
+            fade = int(sample_rate * fade_in_ms / 1000)
+            fade = min(max(0, fade), audio.shape[0])
+            if fade > 1:
+                ramp = np.linspace(0.0, 1.0, fade, dtype=audio.dtype)
+                audio = np.concatenate([audio[:fade] * ramp, audio[fade:]], axis=0)
+        return audio
+
+
+def stack_states(flow_lm: FlowLMModel, states: Sequence[ModelState]) -> ModelState:
+    """Stack single-stream voice states into one batched state.
+
+    Capacities are equalized to the largest bucket; per-stream positions are
+    preserved, so voices with different prompt lengths batch together.
+    """
+    if len(states) == 1 and states[0].batch_size > 1:
+        return states[0]
+    capacity = max(flow_lm.state_capacity(s.tree) for s in states)
+    trees = [flow_lm.expand_state(s.tree, capacity) for s in states]
+    batched = jax.tree_util.tree_map(lambda *leaves: jnp.concatenate(leaves, axis=0), *trees)
+    pos = [p for s in states for p in s.pos]
+    batched["pos"] = jnp.asarray(pos, dtype=jnp.int32)
+    return ModelState(batched, pos)

@@ -1,0 +1,132 @@
+"""Checkpoint loading: torch-layout safetensors -> parameter pytrees.
+
+The published pocket-tts checkpoints store torch module paths; our parameter
+pytrees mirror those paths (dicts for attributes, lists for indexed
+sub-modules), so loading is a generic tree walk. Key renames and skip rules
+replicate the reference loaders
+(reference: pocket_tts_mlx/utils/weight_conversion.py:102-134 and the
+combined-checkpoint walker at pocket_tts_mlx/models/tts_model.py:153-194).
+
+Layout conversions at load time:
+  - Linear / Embedding / Conv1d weights: used as-is (we compute in torch layout)
+  - ConvTranspose1d weights (any path containing 'convtr'): converted once to
+    grad-conv layout (see ops/conv.convtr_weight_from_torch)
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+from pocket_tts_tpu.ops.conv import convtr_weight_from_torch
+
+logger = logging.getLogger(__name__)
+
+_SKIP_PREFIXES = (
+    "flow.w_s_t.",
+    "flow_lm.flow.w_s_t.",
+    "quantizer.vq.",
+    "model.quantizer.vq.",
+    "mimi.quantizer.vq.",
+)
+_SKIP_EXACT = (
+    "condition_provider.conditioners.transcript_in_segment.learnt_padding",
+    "condition_provider.conditioners.speaker_wavs.learnt_padding",
+    "quantizer.logvar_proj.weight",
+    "model.quantizer.logvar_proj.weight",
+)
+_RENAMES = {
+    "condition_provider.conditioners.transcript_in_segment.embed.weight": "conditioner.embed.weight",
+    "condition_provider.conditioners.speaker_wavs.output_proj.weight": "speaker_proj_weight",
+}
+
+
+def _normalize_key(key: str) -> str | None:
+    """Apply skip rules and renames; None means the tensor is dropped."""
+    prefix, bare = "", key
+    for candidate in ("flow_lm.", "mimi."):
+        if key.startswith(candidate):
+            prefix, bare = candidate, key[len(candidate):]
+            break
+    if any(bare.startswith(p) for p in _SKIP_PREFIXES) or bare in _SKIP_EXACT:
+        return None
+    if bare in _RENAMES:
+        return prefix + _RENAMES[bare]
+    return key
+
+
+def _resolve(tree, parts: list[str]):
+    """Walk a params pytree by dotted-path parts; returns (parent, leaf_key)
+    or None when the path doesn't exist (tensor is skipped, matching the
+    reference's lenient walker)."""
+    node = tree
+    for part in parts[:-1]:
+        if part.isdigit() and isinstance(node, (list, tuple)):
+            idx = int(part)
+            if idx >= len(node):
+                return None
+            node = node[idx]
+        elif isinstance(node, dict) and part in node:
+            node = node[part]
+        else:
+            return None
+    last = parts[-1]
+    if last.isdigit():
+        return None
+    if not isinstance(node, dict) or last not in node:
+        return None
+    return node, last
+
+
+def _convert(path: str, tensor: np.ndarray, target) -> np.ndarray | None:
+    """Convert a torch tensor to our storage layout for the given path."""
+    target_shape = tuple(target.shape)
+    if ".convtr." in path or path.endswith("convtr.weight"):
+        if tensor.ndim == 3:
+            groups = tensor.shape[0] // target_shape[1]
+            tensor = convtr_weight_from_torch(tensor, groups=groups)
+    if tuple(tensor.shape) != target_shape:
+        logger.warning(
+            "Shape mismatch for %s: checkpoint %s vs model %s — skipped",
+            path,
+            tensor.shape,
+            target_shape,
+        )
+        return None
+    return tensor
+
+
+def load_state_dict(
+    params: dict,
+    flat: Dict[str, np.ndarray],
+    dtype=jnp.float32,
+    strip_prefix: str = "",
+) -> tuple[int, int]:
+    """Assign a flat {torch_name: array} dict into a params pytree in place.
+
+    Returns (loaded, skipped) counts. Unknown keys are skipped (the combined
+    checkpoint contains training-only tensors the runtime never uses).
+    """
+    loaded = skipped = 0
+    for key, tensor in flat.items():
+        if strip_prefix and key.startswith(strip_prefix):
+            key = key[len(strip_prefix):]
+        norm = _normalize_key(key)
+        if norm is None:
+            skipped += 1
+            continue
+        resolved = _resolve(params, norm.split("."))
+        if resolved is None:
+            skipped += 1
+            continue
+        parent, leaf = resolved
+        converted = _convert(norm, np.asarray(tensor), parent[leaf])
+        if converted is None:
+            skipped += 1
+            continue
+        parent[leaf] = jnp.asarray(converted, dtype=dtype if converted.dtype.kind == "f" else None)
+        loaded += 1
+    return loaded, skipped

@@ -1,0 +1,250 @@
+"""Streaming attention with static-shape caches.
+
+Two flavors, mirroring the reference semantics but redesigned for XLA:
+
+- CausalKVAttention (FlowLM backbone): an append-style KV cache. The
+  reference grows its cache dynamically and encodes the stream position in an
+  array *shape* (reference: pocket_tts_mlx/modules/attention.py:108-182,
+  :127-137); here the cache has a fixed capacity chosen up front and the
+  position is an int32 vector [B] carried in the state pytree, so every
+  decode step compiles once and runs with zero host syncs. Positions are
+  per-stream, which is what makes heterogeneous batched serving possible
+  (the reference is hard-coded to batch 1).
+
+- WindowedRingAttention (Mimi codec): a fixed-capacity ring buffer over the
+  last `capacity` keys with a sliding window mask of `context` positions.
+  The reference scatters into its ring with a Python B*T loop
+  (reference: pocket_tts_mlx/modules/attention.py:67-105, noted there as an
+  MLX workaround); here the update is a vectorized select over ring slots and
+  the validity mask is recomputed from absolute positions, so no position
+  array needs to be stored at all.
+
+All masks are applied as float32 select before softmax; matmuls accumulate in
+float32 via preferred_element_type.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from pocket_tts_tpu.ops.linear import linear
+from pocket_tts_tpu.ops.rope import apply_rope
+
+Params = dict
+State = dict
+
+_NEG_INF = -1e9
+
+
+def _split_qkv(projected: jnp.ndarray, num_heads: int) -> tuple[jnp.ndarray, ...]:
+    """[B, T, 3E] -> three [B, T, H, d]; packing matches the checkpoint's
+    in_proj layout (q rows, then k rows, then v rows)."""
+    B, T, E3 = projected.shape
+    d = E3 // (3 * num_heads)
+    packed = projected.reshape(B, T, 3, num_heads, d)
+    return packed[:, :, 0], packed[:, :, 1], packed[:, :, 2]
+
+
+def _sdpa(
+    q: jnp.ndarray,  # [B, H, Tq, d]
+    k: jnp.ndarray,  # [B, H, Tk, d]
+    v: jnp.ndarray,  # [B, H, Tk, d]
+    valid: jnp.ndarray,  # bool, broadcastable to [B, H, Tq, Tk]
+) -> jnp.ndarray:
+    """Masked softmax(q k^T / sqrt(d)) v with float32 softmax."""
+    d = q.shape[-1]
+    scores = lax.dot_general(
+        q,
+        k,
+        dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32,
+    ) * (1.0 / math.sqrt(d))
+    scores = jnp.where(valid, scores, _NEG_INF)
+    weights = jax.nn.softmax(scores, axis=-1)
+    out = lax.dot_general(
+        weights.astype(v.dtype),
+        v,
+        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(v.dtype)
+
+
+def _init_proj_params(key: jax.Array, embed_dim: int, dtype) -> Params:
+    k1, k2 = jax.random.split(key)
+    s_in = 1.0 / math.sqrt(embed_dim)
+    return {
+        "in_proj": {
+            "weight": jax.random.uniform(
+                k1, (3 * embed_dim, embed_dim), minval=-s_in, maxval=s_in, dtype=dtype
+            )
+        },
+        "out_proj": {
+            "weight": jax.random.uniform(
+                k2, (embed_dim, embed_dim), minval=-s_in, maxval=s_in, dtype=dtype
+            )
+        },
+    }
+
+
+@dataclass(frozen=True)
+class CausalKVAttention:
+    """Full-history causal attention with a fixed-capacity appended KV cache."""
+
+    embed_dim: int
+    num_heads: int
+    max_period: float = 10_000.0
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.num_heads
+
+    def init_params(self, key: jax.Array, dtype=jnp.float32) -> Params:
+        return _init_proj_params(key, self.embed_dim, dtype)
+
+    def init_state(self, batch_size: int, capacity: int, dtype=jnp.float32) -> State:
+        shape = (batch_size, self.num_heads, capacity, self.head_dim)
+        return {"k": jnp.zeros(shape, dtype=dtype), "v": jnp.zeros(shape, dtype=dtype)}
+
+    def __call__(
+        self,
+        params: Params,
+        x: jnp.ndarray,  # [B, T, E]
+        state: State,
+        pos: jnp.ndarray,  # int32 [B]: number of tokens already cached
+    ) -> tuple[jnp.ndarray, State]:
+        B, T, _ = x.shape
+        capacity = state["k"].shape[2]
+
+        projected = linear(x, params["in_proj"]["weight"])
+        q, k, v = _split_qkv(projected, self.num_heads)
+
+        positions = pos[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]  # [B, T]
+        q, k = apply_rope(q, k, positions, self.max_period)
+
+        q = q.transpose(0, 2, 1, 3)  # [B, H, T, d]
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
+
+        # Per-stream append at pos[b]; vmapped dynamic_update_slice lowers to
+        # an efficient batched scatter.
+        def write(cache_b, new_b, p):
+            return lax.dynamic_update_slice(cache_b, new_b, (0, p, 0))
+
+        k_cache = jax.vmap(write)(state["k"], k.astype(state["k"].dtype), pos)
+        v_cache = jax.vmap(write)(state["v"], v.astype(state["v"].dtype), pos)
+
+        # Query i (absolute pos[b]+i) may attend to cache slots j <= pos[b]+i.
+        slots = jnp.arange(capacity, dtype=jnp.int32)
+        valid = slots[None, None, :] <= positions[:, :, None]  # [B, T, cap]
+        out = _sdpa(q, k_cache.astype(q.dtype), v_cache.astype(q.dtype), valid[:, None])
+
+        out = out.transpose(0, 2, 1, 3).reshape(B, T, self.embed_dim)
+        return linear(out, params["out_proj"]["weight"]), {"k": k_cache, "v": v_cache}
+
+
+@dataclass(frozen=True)
+class WindowedRingAttention:
+    """Sliding-window causal attention over a fixed-capacity ring buffer.
+
+    Window semantics match the reference predicate
+    (pos_k >= 0) & (delta >= 0) & (delta < context)
+    (reference: pocket_tts_mlx/modules/attention.py:244-254). Capacity may be
+    any value >= context + chunk; slot positions are derived arithmetically
+    from the write offset, so validity masking is exact even after wraparound.
+    """
+
+    embed_dim: int
+    num_heads: int
+    context: int
+    max_period: float = 10_000.0
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.num_heads
+
+    def init_params(self, key: jax.Array, dtype=jnp.float32) -> Params:
+        return _init_proj_params(key, self.embed_dim, dtype)
+
+    def init_state(self, batch_size: int, capacity: int | None = None, dtype=jnp.float32) -> State:
+        if capacity is None:
+            # Smallest 128-aligned ring that always retains a full window.
+            capacity = ((self.context + 127) // 128 + 1) * 128
+        shape = (batch_size, self.num_heads, capacity, self.head_dim)
+        return {"k": jnp.zeros(shape, dtype=dtype), "v": jnp.zeros(shape, dtype=dtype)}
+
+    def __call__(
+        self,
+        params: Params,
+        x: jnp.ndarray,  # [B, T, E]
+        state: State,
+        pos: jnp.ndarray,  # int32 [B]: absolute stream offset of x[:, 0]
+    ) -> tuple[jnp.ndarray, State]:
+        B, T, _ = x.shape
+        capacity = state["k"].shape[2]
+        assert capacity >= self.context + T, "ring must retain a full window plus the new chunk"
+
+        projected = linear(x, params["in_proj"]["weight"])
+        q, k, v = _split_qkv(projected, self.num_heads)
+
+        positions = pos[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]  # [B, T]
+        q, k = apply_rope(q, k, positions, self.max_period)
+
+        q = q.transpose(0, 2, 1, 3)
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
+
+        # Ring update as a vectorized select: slot j receives new token
+        # (j - pos) mod capacity when that offset is < T. No scatter needed.
+        slots = jnp.arange(capacity, dtype=jnp.int32)
+        written_offset = jnp.mod(slots[None, :] - pos[:, None], capacity)  # [B, cap]
+        take_new = written_offset < T
+        gather_idx = jnp.minimum(written_offset, T - 1)[:, None, :, None]  # [B,1,cap,1]
+
+        def ring_write(cache, new):
+            gathered = jnp.take_along_axis(
+                new.astype(cache.dtype),
+                jnp.broadcast_to(gather_idx, (B, new.shape[1], capacity, new.shape[3])),
+                axis=2,
+            )
+            return jnp.where(take_new[:, None, :, None], gathered, cache)
+
+        k_cache = ring_write(state["k"], k)
+        v_cache = ring_write(state["v"], v)
+
+        # Absolute position held by slot j after the write:
+        #   p(j) = end-1 - ((end-1-j) mod capacity), end = pos+T;
+        # unwritten slots land at negative p and are masked out.
+        end = pos + T
+        slot_pos = (end - 1)[:, None] - jnp.mod((end - 1)[:, None] - slots[None, :], capacity)
+
+        delta = positions[:, :, None] - slot_pos[:, None, :]  # [B, T, cap]
+        valid = (slot_pos[:, None, :] >= 0) & (delta >= 0) & (delta < self.context)
+        out = _sdpa(q, k_cache.astype(q.dtype), v_cache.astype(q.dtype), valid[:, None])
+
+        out = out.transpose(0, 2, 1, 3).reshape(B, T, self.embed_dim)
+        return linear(out, params["out_proj"]["weight"]), {"k": k_cache, "v": v_cache}
+
+    def forward(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
+        """Non-streaming windowed attention over a full sequence [B, T, E]
+        (used by the Mimi encoder during voice cloning; reference:
+        pocket_tts_mlx/modules/attention.py:210-213 with model_state=None)."""
+        B, T, _ = x.shape
+        projected = linear(x, params["in_proj"]["weight"])
+        q, k, v = _split_qkv(projected, self.num_heads)
+        positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :], (B, T))
+        q, k = apply_rope(q, k, positions, self.max_period)
+        q = q.transpose(0, 2, 1, 3)
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
+        idx = jnp.arange(T, dtype=jnp.int32)
+        delta = idx[:, None] - idx[None, :]
+        valid = (delta >= 0) & (delta < self.context)
+        out = _sdpa(q, k, v, valid[None, None])
+        out = out.transpose(0, 2, 1, 3).reshape(B, T, self.embed_dim)
+        return linear(out, params["out_proj"]["weight"])
