@@ -689,8 +689,17 @@ class TTSModel:
         scripts). model_states may be one shared voice or one per stream.
         """
         if isinstance(model_states, ModelState):
-            model_states = [model_states] * len(texts)
-        batched = stack_states(self.flow_lm, list(model_states))
+            if model_states.batch_size == len(texts):
+                batched = model_states  # already stacked
+            elif model_states.batch_size == 1:
+                batched = stack_states(self.flow_lm, [model_states] * len(texts))
+            else:
+                raise ValueError(
+                    f"model_states has batch {model_states.batch_size} but got "
+                    f"{len(texts)} texts"
+                )
+        else:
+            batched = stack_states(self.flow_lm, list(model_states))
 
         fae = []
         for t in texts:

@@ -38,8 +38,16 @@ def sample_noise(
     temp: float,
     noise_clamp: Optional[float] = None,
 ) -> jnp.ndarray:
-    """N(0, temp) noise with optional symmetric clamping."""
-    noise = jax.random.normal(key, shape, dtype=jnp.float32) * (temp ** 0.5)
+    """N(0, temp) noise [B, D] with optional symmetric clamping.
+
+    The key is folded per stream (leading axis), so a stream's noise sequence
+    does not depend on which other streams share its batch — batched serving
+    reproduces single-stream sampling slot-for-slot.
+    """
+    B = shape[0]
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(B))
+    noise = jax.vmap(lambda k: jax.random.normal(k, shape[1:], dtype=jnp.float32))(keys)
+    noise = noise * jnp.sqrt(jnp.asarray(temp, dtype=jnp.float32))
     if noise_clamp is not None:
         noise = jnp.clip(noise, -noise_clamp, noise_clamp)
     return noise

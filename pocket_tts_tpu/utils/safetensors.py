@@ -59,15 +59,14 @@ def load_safetensors(path: Union[str, Path]) -> Dict[str, np.ndarray]:
         data_start = 8 + header_len
 
         tensors: Dict[str, np.ndarray] = {}
-        view = memoryview(mm)
         for name, info in header.items():
             if name == "__metadata__":
                 continue
             start, end = info["data_offsets"]
-            buf = view[data_start + start : data_start + end]
-            # Copy out of the mmap so the map can be closed afterwards.
-            tensors[name] = _decode_tensor(buf, info["dtype"], info["shape"]).copy()
-        del view
+            # mmap slicing returns bytes (one copy, no exported buffer), so
+            # the map can be closed immediately after loading.
+            buf = mm[data_start + start : data_start + end]
+            tensors[name] = _decode_tensor(buf, info["dtype"], info["shape"])
     finally:
         mm.close()
     return tensors

@@ -1,0 +1,123 @@
+"""Attention tests: streaming-vs-full equivalence and torch-mirror parity."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import torch_mirror as tm
+from pocket_tts_tpu.ops.attention import CausalKVAttention, WindowedRingAttention
+
+RNG = np.random.default_rng(11)
+
+
+def _np(x):
+    return np.asarray(x)
+
+
+def test_causal_prefill_matches_torch_full_attention():
+    attn = CausalKVAttention(embed_dim=64, num_heads=4)
+    params = attn.init_params(jax.random.PRNGKey(0))
+    B, T = 2, 12
+    x = RNG.standard_normal((B, T, 64)).astype(np.float32)
+
+    state = attn.init_state(B, capacity=32)
+    pos = jnp.zeros((B,), dtype=jnp.int32)
+    out, _ = attn(params, jnp.array(x), state, pos)
+
+    ref = tm.causal_attention(
+        x, _np(params["in_proj"]["weight"]), _np(params["out_proj"]["weight"]), num_heads=4
+    )
+    np.testing.assert_allclose(_np(out), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_causal_streaming_stepwise_equals_full():
+    """Prefill 5 tokens then decode 1-by-1 == one full pass (KV-cache correctness)."""
+    attn = CausalKVAttention(embed_dim=32, num_heads=2)
+    params = attn.init_params(jax.random.PRNGKey(1))
+    B, T = 1, 9
+    x = RNG.standard_normal((B, T, 32)).astype(np.float32)
+
+    state = attn.init_state(B, capacity=16)
+    full, _ = attn(params, jnp.array(x), state, jnp.zeros((B,), jnp.int32))
+
+    state = attn.init_state(B, capacity=16)
+    out5, state = attn(params, jnp.array(x[:, :5]), state, jnp.zeros((B,), jnp.int32))
+    outs = [_np(out5)]
+    for t in range(5, T):
+        y, state = attn(
+            params, jnp.array(x[:, t : t + 1]), state, jnp.full((B,), t, jnp.int32)
+        )
+        outs.append(_np(y))
+    streamed = np.concatenate(outs, axis=1)
+    np.testing.assert_allclose(streamed, _np(full), rtol=1e-4, atol=1e-5)
+
+
+def test_causal_per_stream_positions():
+    """Streams at different positions in one batch must match separate runs."""
+    attn = CausalKVAttention(embed_dim=32, num_heads=2)
+    params = attn.init_params(jax.random.PRNGKey(2))
+    cap = 16
+    x0 = RNG.standard_normal((1, 3, 32)).astype(np.float32)
+    x1 = RNG.standard_normal((1, 3, 32)).astype(np.float32)
+    pre0 = RNG.standard_normal((1, 4, 32)).astype(np.float32)
+    pre1 = RNG.standard_normal((1, 7, 32)).astype(np.float32)
+
+    def run_single(pre, x):
+        state = attn.init_state(1, cap)
+        _, state = attn(params, jnp.array(pre), state, jnp.zeros((1,), jnp.int32))
+        out, _ = attn(params, jnp.array(x), state, jnp.full((1,), pre.shape[1], jnp.int32))
+        return _np(out)
+
+    ref0, ref1 = run_single(pre0, x0), run_single(pre1, x1)
+
+    # Batched: right-pad the shorter prefill, per-stream positions
+    state = attn.init_state(2, cap)
+    pre = np.zeros((2, 7, 32), dtype=np.float32)
+    pre[0, :4] = pre0[0]
+    pre[1] = pre1[0]
+    _, state = attn(params, jnp.array(pre), state, jnp.zeros((2,), jnp.int32))
+    # Stream 0 only advanced 4 positions; garbage slots 4..7 will be
+    # overwritten by this next write starting at pos=4.
+    out, _ = attn(
+        params,
+        jnp.array(np.concatenate([x0, x1], axis=0)),
+        state,
+        jnp.array([4, 7], jnp.int32),
+    )
+    np.testing.assert_allclose(_np(out)[0:1], ref0, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(_np(out)[1:2], ref1, rtol=1e-4, atol=1e-5)
+
+
+def test_windowed_full_matches_torch():
+    attn = WindowedRingAttention(embed_dim=32, num_heads=4, context=6)
+    params = attn.init_params(jax.random.PRNGKey(3))
+    B, T = 2, 20
+    x = RNG.standard_normal((B, T, 32)).astype(np.float32)
+    out = attn.forward(params, jnp.array(x))
+    ref = tm.windowed_attention(
+        x, _np(params["in_proj"]["weight"]), _np(params["out_proj"]["weight"]),
+        num_heads=4, context=6,
+    )
+    np.testing.assert_allclose(_np(out), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_windowed_ring_streaming_equals_full_with_wraparound():
+    """Chunked ring-buffer attention == full windowed attention, including
+    after the ring wraps (T >> capacity)."""
+    attn = WindowedRingAttention(embed_dim=16, num_heads=2, context=8)
+    params = attn.init_params(jax.random.PRNGKey(4))
+    B, T, chunk = 1, 64, 4
+    cap = 16  # small ring: wraps 4 times
+    x = RNG.standard_normal((B, T, 16)).astype(np.float32)
+
+    full = _np(attn.forward(params, jnp.array(x)))
+
+    state = attn.init_state(B, capacity=cap)
+    outs = []
+    for i in range(0, T, chunk):
+        y, state = attn(
+            params, jnp.array(x[:, i : i + chunk]), state, jnp.full((B,), i, jnp.int32)
+        )
+        outs.append(_np(y))
+    streamed = np.concatenate(outs, axis=1)
+    np.testing.assert_allclose(streamed, full, rtol=1e-4, atol=1e-5)

@@ -1,0 +1,124 @@
+"""End-to-end pipeline tests on the tiny config (random weights, CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tiny_config import tiny_config
+from pocket_tts_tpu.models.tts_model import ModelState, TTSModel, stack_states
+from pocket_tts_tpu.models.flow_lm import FlowLMModel
+from pocket_tts_tpu.models.mimi import MimiModel
+from pocket_tts_tpu.models.text import FallbackWordTokenizer
+
+RNG = np.random.default_rng(9)
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = tiny_config()
+    flow_lm = FlowLMModel(config=cfg.flow_lm, latent_dim=cfg.mimi.quantizer.dimension)
+    mimi = MimiModel(config=cfg.mimi)
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    params = {"flow_lm": flow_lm.init_params(k1), "mimi": mimi.init_params(k2)}
+    return TTSModel(
+        flow_lm=flow_lm,
+        mimi=mimi,
+        params=params,
+        tokenizer=FallbackWordTokenizer(4000),
+        temp=0.7,
+        lsd_decode_steps=1,
+        noise_clamp=None,
+        eos_threshold=1e9,  # random weights: disable EOS so length is deterministic
+        config=cfg,
+        seed=0,
+    )
+
+
+@pytest.fixture(scope="module")
+def voice(model):
+    prompt = jnp.array(RNG.standard_normal((1, 12, model.flow_lm.dim)).astype(np.float32))
+    return model._state_from_prompt(prompt)
+
+
+def test_generate_audio_shape_and_determinism(model, voice):
+    model._rng = jax.random.PRNGKey(42)
+    a1 = model.generate_audio(voice, "One two three four five six.", frames_after_eos=2)
+    model._rng = jax.random.PRNGKey(42)
+    a2 = model.generate_audio(voice, "One two three four five six.", frames_after_eos=2)
+    assert a1.dtype == np.float32
+    assert a1.shape[0] % 1920 == 0 and a1.shape[0] > 0
+    np.testing.assert_array_equal(a1, a2)
+
+
+def test_stream_equals_batch_collect(model, voice):
+    model._rng = jax.random.PRNGKey(1)
+    frames = list(
+        model.generate_audio_stream(voice, "Seven eight nine ten eleven.", frames_after_eos=2)
+    )
+    model._rng = jax.random.PRNGKey(1)
+    full = model.generate_audio(voice, "Seven eight nine ten eleven.", frames_after_eos=2)
+    np.testing.assert_array_equal(np.concatenate(frames), full)
+    assert all(f.shape == (1920,) for f in frames)
+
+
+def test_copy_state_semantics(model, voice):
+    pos_before = list(voice.pos)
+    model.generate_audio(voice, "A b c d e f.", frames_after_eos=2)
+    assert voice.pos == pos_before  # copy_state=True leaves the voice untouched
+
+    work = ModelState(voice.tree, voice.pos)
+    model.generate_audio(work, "A b c d e f.", frames_after_eos=2, copy_state=False)
+    assert work.pos[0] > pos_before[0]  # continuation state advanced
+
+
+def test_trim_and_fade(model, voice):
+    model._rng = jax.random.PRNGKey(3)
+    raw = model.generate_audio(voice, "Alpha beta gamma delta echo.", frames_after_eos=2)
+    model._rng = jax.random.PRNGKey(3)
+    trimmed = model.generate_audio(
+        voice, "Alpha beta gamma delta echo.", frames_after_eos=2,
+        trim_start_ms=40, fade_in_ms=15,
+    )
+    trim = int(24000 * 40 / 1000)
+    assert trimmed.shape[0] == raw.shape[0] - trim
+    fade = int(24000 * 15 / 1000)
+    np.testing.assert_allclose(trimmed[0], raw[trim] * 0.0, atol=1e-6)  # ramp starts at 0
+    np.testing.assert_array_equal(trimmed[fade:], raw[trim + fade:])
+
+
+def test_batch_matches_single_stream(model, voice):
+    """Each row of a batched generation must equal its single-stream run
+    (per-stream RNG folding + per-stream positions + per-stream EOS)."""
+    text = "Quick brown fox jumps over dog."
+    model._rng = jax.random.PRNGKey(11)
+    single = model.generate_audio(voice, text, frames_after_eos=2, warmup_frames=1)
+
+    model._rng = jax.random.PRNGKey(11)
+    batch = model.generate_audio_batch(
+        stack_states(model.flow_lm, [voice, voice]), [text, text], frames_after_eos=2
+    )
+    assert batch[0].shape == single.shape
+    # identical math modulo XLA batch-vectorization rounding
+    np.testing.assert_allclose(batch[0], single, rtol=1e-4, atol=1e-6)
+
+
+def test_batch_heterogeneous_lengths(model, voice):
+    texts = ["Short one here.", "A much longer sentence with many more words to speak aloud."]
+    outs = model.generate_audio_batch(
+        stack_states(model.flow_lm, [voice, voice]), texts, frames_after_eos=2
+    )
+    assert len(outs) == 2
+    assert outs[0].shape[0] > 0 and outs[1].shape[0] > 0
+    # longer text -> longer max_gen -> more frames (EOS disabled)
+    assert outs[1].shape[0] > outs[0].shape[0]
+
+
+def test_multi_chunk_long_text(model, voice):
+    """Texts longer than max_tokens split into chunks that all synthesize."""
+    text = "One two three four five six. Seven eight nine ten eleven twelve. " * 2
+    model._rng = jax.random.PRNGKey(13)
+    audio = model.generate_audio(voice, text, max_tokens=8, frames_after_eos=2)
+    assert audio.shape[0] % 1920 == 0
+    assert audio.shape[0] >= 4 * 1920
