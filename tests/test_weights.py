@@ -63,14 +63,14 @@ def test_load_torch_named_tensors(models):
     flow_lm, mimi, params = models
 
     lin = RNG.standard_normal((flow_lm.dim, flow_lm.ldim)).astype(np.float32)
-    # Mimi decoder layer 1 is the first ConvTranspose (ratio 6 -> k=12, s=6).
-    convtr_shape_ours = np.asarray(params["mimi"]["decoder"]["model"][1]["convtr"]["weight"]).shape
+    # Mimi decoder layer 2 is the first ConvTranspose (index 1 is the ELU) (ratio 6 -> k=12, s=6).
+    convtr_shape_ours = np.asarray(params["mimi"]["decoder"]["model"][2]["convtr"]["weight"]).shape
     cout, cin_per_g, k = convtr_shape_ours
     w_torch = RNG.standard_normal((cin_per_g, cout, k)).astype(np.float32)  # (in, out, k), g=1
 
     flat = {
         "flow_lm.input_linear.weight": lin,
-        "mimi.decoder.model.1.convtr.weight": w_torch,
+        "mimi.decoder.model.2.convtr.weight": w_torch,
         "flow_lm.condition_provider.conditioners.transcript_in_segment.embed.weight": (
             RNG.standard_normal((4001, flow_lm.dim)).astype(np.float32)
         ),
@@ -98,7 +98,7 @@ def test_load_torch_named_tensors(models):
         flat["flow_lm.condition_provider.conditioners.speaker_wavs.output_proj.weight"],
     )
     np.testing.assert_array_equal(
-        np.asarray(params["mimi"]["decoder"]["model"][1]["convtr"]["weight"]),
+        np.asarray(params["mimi"]["decoder"]["model"][2]["convtr"]["weight"]),
         convtr_weight_from_torch(w_torch, groups=1),
     )
 
