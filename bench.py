@@ -1,0 +1,137 @@
+"""Benchmark harness: single-stream RTF, TTFA, and batch-64 throughput.
+
+Runs the production code path (TTSModel generate pipeline) on whatever
+backend the environment provides (real TPU chip under the driver; CPU when
+forced). Checkpoints are unreachable from this environment, so weights are
+random — identical compute graph, sizes, and memory traffic as the real
+model, which is what determines RTF.
+
+Prints ONE JSON line:
+  {"metric": "single_stream_rtf", "value": N, "unit": "x_realtime",
+   "vs_baseline": N, "extra": {...}}
+vs_baseline is value / 30 — the BASELINE.md north-star target for one v5e
+chip (the reference publishes no numbers of its own; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+
+os.environ.setdefault("POCKET_TTS_OFFLINE", "1")
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+
+from pocket_tts_tpu.models.tts_model import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+logging.basicConfig(level=logging.WARNING)
+
+TEXT = (
+    "The quick brown fox jumps over the lazy dog while seventy six trombones "
+    "led the big parade down the long and winding road toward the harbor."
+)
+SAMPLE_RATE = 24_000
+FRAME = 1920
+
+
+def _build_model():
+    from pocket_tts_tpu.models.tts_model import TTSModel
+
+    model = TTSModel.load_model(
+        eos_threshold=1e9,  # random weights: disable EOS so runs are full-length
+        matmul_precision="default",
+    )
+    return model
+
+
+def _make_voice(model, frames: int = 125):
+    import jax.numpy as jnp
+
+    prompt = (
+        jax.random.normal(jax.random.PRNGKey(0), (1, frames, model.flow_lm.dim), jnp.float32)
+        * 0.02
+    )
+    return model._state_from_prompt(prompt)
+
+
+def bench_single_stream(model, voice) -> dict:
+    # Warmup: compile every jit in the path.
+    _ = model.generate_audio(voice, TEXT, frames_after_eos=2)
+
+    t0 = time.monotonic()
+    audio = model.generate_audio(voice, TEXT, frames_after_eos=2)
+    wall = time.monotonic() - t0
+    audio_sec = audio.shape[0] / SAMPLE_RATE
+    return {"rtf": audio_sec / wall, "audio_sec": audio_sec, "wall_sec": wall}
+
+
+def bench_ttfa(model, voice, runs: int = 5) -> dict:
+    # jit caches are warm after bench_single_stream; measure time to first frame.
+    ttfas = []
+    for _ in range(runs):
+        t0 = time.monotonic()
+        stream = model.generate_audio_stream(voice, TEXT, frames_after_eos=2)
+        next(stream)
+        ttfas.append(time.monotonic() - t0)
+        stream.close()
+    ttfas.sort()
+    return {"p50_ms": ttfas[len(ttfas) // 2] * 1000, "min_ms": ttfas[0] * 1000}
+
+
+def bench_batch(model, voice, batch: int) -> dict:
+    from pocket_tts_tpu.models.tts_model import stack_states
+
+    stacked = stack_states(model.flow_lm, [voice] * batch)
+    texts = [TEXT] * batch
+    # Warmup/compile.
+    _ = model.generate_audio_batch(stacked, texts, frames_after_eos=2)
+
+    t0 = time.monotonic()
+    outs = model.generate_audio_batch(stacked, texts, frames_after_eos=2)
+    wall = time.monotonic() - t0
+    total_audio_sec = sum(o.shape[0] for o in outs) / SAMPLE_RATE
+    per_stream_audio = outs[0].shape[0] / SAMPLE_RATE
+    # Streams that run in real time concurrently: each stream must produce
+    # audio at >= 1x; aggregate throughput / per-stream realtime need.
+    aggregate_rtf = total_audio_sec / wall
+    return {
+        "batch": batch,
+        "aggregate_rtf": aggregate_rtf,
+        "per_stream_rtf": per_stream_audio / wall,
+        "realtime_streams": aggregate_rtf,  # streams sustainable at 1x
+        "wall_sec": wall,
+    }
+
+
+def main() -> None:
+    platform = jax.devices()[0].platform
+    model = _build_model()
+    voice = _make_voice(model)
+
+    single = bench_single_stream(model, voice)
+    ttfa = bench_ttfa(model, voice)
+    batch = bench_batch(model, voice, batch=64)
+
+    result = {
+        "metric": "single_stream_rtf",
+        "value": round(single["rtf"], 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(single["rtf"] / 30.0, 3),
+        "extra": {
+            "platform": platform,
+            "ttfa_p50_ms": round(ttfa["p50_ms"], 1),
+            "batch64_aggregate_rtf": round(batch["aggregate_rtf"], 1),
+            "batch64_realtime_streams": round(batch["realtime_streams"], 1),
+            "single_audio_sec": round(single["audio_sec"], 2),
+            "targets": {"single_stream_rtf": 30.0, "streams": 64, "ttfa_p50_ms": 250.0},
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -17,7 +17,7 @@ MAX_TOKEN_PER_CHUNK = 50
 # The decode loop runs as jitted lax.scan segments; the host only syncs once
 # per segment to check EOS, instead of once per frame
 # (reference syncs every frame: pocket_tts_mlx/models/tts_model.py:408).
-DEFAULT_SEGMENT_FRAMES = 4
+DEFAULT_SEGMENT_FRAMES = 8
 # KV-cache capacities are bucketed to multiples of this to bound the number of
 # distinct jit compilations (static shapes; reference grows the cache
 # dynamically instead: pocket_tts_mlx/models/tts_model.py:278-295).

@@ -48,6 +48,7 @@ from pocket_tts_tpu.default_parameters import (
     MAX_TOKEN_PER_CHUNK,
 )
 from pocket_tts_tpu.models.flow_lm import FlowLMModel
+from pocket_tts_tpu.models.generate import initial_carry, make_segment_fn
 from pocket_tts_tpu.models.mimi import MimiModel
 from pocket_tts_tpu.models.text import (
     estimate_max_gen_len,
@@ -62,7 +63,24 @@ from pocket_tts_tpu.utils.timing import display_execution_time, size_of_pytree
 
 logger = logging.getLogger(__name__)
 
-_EOS_NEVER = np.int32(2**30)  # sentinel: EOS not seen yet
+# Uniform segment size for non-streaming (bulk) generation: one compiled
+# program regardless of utterance length; overshoot frames are masked and the
+# stream positions rewound afterwards.
+_BULK_SEGMENT_FRAMES = 32
+
+
+def enable_compilation_cache(path: str = "~/.cache/pocket_tts/jax_cache") -> None:
+    """Persist compiled executables across processes (first jit of the fused
+    decode graph can take minutes on remote-compile backends)."""
+    import os
+
+    cache_dir = os.path.expanduser(path)
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as exc:  # noqa: BLE001 — older jax versions
+        logger.debug("compilation cache unavailable: %s", exc)
 
 # Predefined voice embeddings (speaker-conditioning prefill tensors), same
 # assets as the reference (reference: pocket_tts_mlx/utils/weight_conversion.py:31-35).
@@ -315,59 +333,11 @@ class TTSModel:
         noise_clamp = self.noise_clamp
 
         def build():
-            flow_lm = self.flow_lm
-            mimi = self.mimi
+            inner = make_segment_fn(self.flow_lm, self.mimi, lsd_steps, noise_clamp, S)
 
             def fn(params, flow_state, mimi_state, carry, rng, temp, eos_threshold):
                 with self._precision():
-                    def step(loop_carry, _):
-                        flow_state, mimi_state, c = loop_carry
-                        rng_i = jax.random.fold_in(rng, c["step"])
-                        flow_state, next_latent, is_eos = flow_lm.decode_step(
-                            params["flow_lm"],
-                            flow_state,
-                            c["latent"],
-                            c["is_bos"],
-                            rng_i,
-                            temp,
-                            lsd_steps,
-                            noise_clamp,
-                            eos_threshold,
-                        )
-                        eos_step = jnp.where(
-                            is_eos, jnp.minimum(c["eos_step"], c["step"]), c["eos_step"]
-                        )
-                        emit = (c["step"] < eos_step + c["frames_after_eos"]) & (
-                            c["step"] < c["max_gen"]
-                        )
-                        mimi_in = (
-                            next_latent * params["flow_lm"]["emb_std"]
-                            + params["flow_lm"]["emb_mean"]
-                        )[:, :, None]
-                        quantized = mimi.quantize(params["mimi"], mimi_in)
-                        frame, mimi_state = mimi.decode_from_latent(
-                            params["mimi"], quantized, mimi_state
-                        )
-                        new_c = {
-                            "latent": next_latent,
-                            "is_bos": jnp.zeros_like(c["is_bos"]),
-                            "eos_step": eos_step,
-                            "step": c["step"] + 1,
-                            "frames_after_eos": c["frames_after_eos"],
-                            "max_gen": c["max_gen"],
-                        }
-                        return (flow_state, mimi_state, new_c), (frame[:, 0, :], emit)
-
-                    (flow_state, mimi_state, carry), (audio, emit) = jax.lax.scan(
-                        step, (flow_state, mimi_state, carry), None, length=S
-                    )
-                    steps_target = jnp.minimum(
-                        carry["eos_step"] + carry["frames_after_eos"] + 1, carry["max_gen"]
-                    )
-                    all_done = jnp.all(carry["step"] >= steps_target)
-                    audio = jnp.transpose(audio, (1, 0, 2))  # [B, S, frame]
-                    emit = jnp.transpose(emit, (1, 0))  # [B, S]
-                    return flow_state, mimi_state, carry, audio, emit, all_done
+                    return inner(params, flow_state, mimi_state, carry, rng, temp, eos_threshold)
 
             return jax.jit(fn, donate_argnums=(1, 2, 3))
 
@@ -497,6 +467,7 @@ class TTSModel:
                 frames_after_eos=frames_after_eos,
                 copy_state=copy_state,
                 warmup_frames=warmup_frames,
+                _bulk=True,
             )
         )
         audio = np.concatenate(chunks, axis=0)
@@ -510,6 +481,7 @@ class TTSModel:
         frames_after_eos: Optional[int] = None,
         copy_state: bool = True,
         warmup_frames: int = _MIMI_WARMUP_FRAMES,
+        _bulk: bool = False,
     ) -> Generator[np.ndarray, None, None]:
         """Yield 80 ms audio frames (1920 float32 samples) as they decode."""
         chunks = split_into_best_sentences(self.tokenizer, text_to_generate, max_tokens)
@@ -525,6 +497,7 @@ class TTSModel:
                 frames_after_eos=effective,
                 copy_state=copy_state,
                 warmup_frames=warmup_frames,
+                bulk=_bulk,
             )
 
     def _next_rng(self) -> jax.Array:
@@ -538,6 +511,7 @@ class TTSModel:
         frames_after_eos: int,
         copy_state: bool,
         warmup_frames: int,
+        bulk: bool = False,
     ) -> Generator[np.ndarray, None, None]:
         """Single-chunk generation for batch size 1 (the reference code path)."""
         for frames, _ in self._generate_batch_frames(
@@ -546,6 +520,7 @@ class TTSModel:
             frames_after_eos=[frames_after_eos],
             copy_state=copy_state,
             warmup_frames=warmup_frames,
+            bulk=bulk,
         ):
             yield frames[0]
 
@@ -557,6 +532,7 @@ class TTSModel:
         copy_state: bool,
         warmup_frames: int,
         segment_frames: int = DEFAULT_SEGMENT_FRAMES,
+        bulk: bool = False,
     ):
         """Core batched decode loop.
 
@@ -595,44 +571,67 @@ class TTSModel:
                 _, mimi_state = frame_fn(self.params, zero_latent, mimi_state)
 
         t_generating = time.monotonic()
-        with display_execution_time("Prompting text"):
-            prefill = self._prefill_jit(B, t_pad, capacity)["tokens"]
-            flow_state = prefill(self.params, tree, jnp.asarray(tokens), jnp.asarray(lengths))
-            jax.block_until_ready(flow_state)
+        prefill = self._prefill_jit(B, t_pad, capacity)["tokens"]
+        flow_state = prefill(self.params, tree, jnp.asarray(tokens), jnp.asarray(lengths))
 
-        carry = {
-            "latent": jnp.zeros((B, self.flow_lm.ldim), dtype=jnp.float32),
-            "is_bos": jnp.ones((B,), dtype=jnp.bool_),
-            "eos_step": jnp.full((B,), _EOS_NEVER, dtype=jnp.int32),
-            "step": jnp.zeros((), dtype=jnp.int32),
-            "frames_after_eos": jnp.asarray(frames_after_eos, dtype=jnp.int32),
-            "max_gen": jnp.asarray(max_gen, dtype=jnp.int32),
-        }
+        carry = initial_carry(self.flow_lm, B, frames_after_eos, max_gen)
         rng = self._next_rng()
         temp = jnp.float32(self.temp)
         eos_threshold = jnp.float32(self.eos_threshold)
 
         max_gen_all = int(max(max_gen))
-        # Segment schedule: tiny first segments for fast time-to-first-audio,
-        # then steady-state batches of `segment_frames`.
-        schedule: list[int] = []
-        total = 0
-        for s in (1, 1, 2):
-            if total + s <= max_gen_all:
-                schedule.append(s)
-                total += s
-        while total < max_gen_all:
-            s = min(segment_frames, max_gen_all - total)
-            schedule.append(s)
-            total += s
 
+        def schedule_iter():
+            if bulk:
+                # Uniform large segments: fewest dispatch/fetch round-trips
+                # and a single compiled program; the tail overshoot is masked.
+                n = -(-max_gen_all // _BULK_SEGMENT_FRAMES)
+                for _ in range(n):
+                    yield _BULK_SEGMENT_FRAMES
+                return
+            # Streaming: tiny first segments for fast time-to-first-audio,
+            # then steady-state blocks of `segment_frames`.
+            total = 0
+            for s in (1, 2, 4):
+                s = min(s, segment_frames)
+                if total + s <= max_gen_all:
+                    yield s
+                    total += s
+            while total < max_gen_all:
+                s = min(segment_frames, max_gen_all - total)
+                yield s
+                total += s
+
+        # Pipelined dispatch: keep `lookahead` segments in flight beyond the
+        # one being fetched, so device compute and device->host transfers
+        # overlap instead of a round-trip sync per segment. Dispatching past
+        # EOS wastes at most lookahead*segment_frames masked frames; the
+        # position correction below rewinds the state either way.
+        lookahead = 2
+        sched = schedule_iter()
+        in_flight: list = []
+        dispatched = 0
+        exhausted = False
         steps_ran = 0
         total_emitted_samples = 0
-        for seg in schedule:
-            seg_fn = self._segment_jit(B, seg, capacity)
-            flow_state, mimi_state, carry, audio, emit, all_done = seg_fn(
-                self.params, flow_state, mimi_state, carry, rng, temp, eos_threshold
-            )
+
+        while True:
+            while not exhausted and len(in_flight) <= lookahead:
+                seg = next(sched, None)
+                if seg is None:
+                    exhausted = True
+                    break
+                seg_fn = self._segment_jit(B, seg, capacity)
+                flow_state, mimi_state, carry, audio, emit, all_done = seg_fn(
+                    self.params, flow_state, mimi_state, carry, rng, temp, eos_threshold
+                )
+                for dev_arr in (audio, emit, all_done):
+                    dev_arr.copy_to_host_async()
+                in_flight.append((seg, audio, emit, all_done))
+                dispatched += seg
+            if not in_flight:
+                break
+            seg, audio, emit, all_done = in_flight.pop(0)
             audio_np, emit_np, done = jax.device_get((audio, emit, all_done))
             steps_ran += seg
             for s in range(seg):
@@ -641,6 +640,7 @@ class TTSModel:
                 total_emitted_samples += int(emit_np[:, s].sum()) * audio_np.shape[-1]
                 yield audio_np[:, s, :], emit_np[:, s]
             if bool(done):
+                steps_ran = dispatched  # state advanced through all dispatches
                 break
 
         # Restore exact continuation semantics: FlowLM ran
@@ -713,6 +713,7 @@ class TTSModel:
             frames_after_eos=fae,
             copy_state=True,
             warmup_frames=warmup_frames,
+            bulk=True,
         ):
             for b in range(len(texts)):
                 if emit[b]:

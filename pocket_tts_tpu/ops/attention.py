@@ -131,13 +131,22 @@ class CausalKVAttention:
         k = k.transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)
 
-        # Per-stream append at pos[b]; vmapped dynamic_update_slice lowers to
-        # an efficient batched scatter.
-        def write(cache_b, new_b, p):
-            return lax.dynamic_update_slice(cache_b, new_b, (0, p, 0))
+        # Per-stream append at pos[b]. For B == 1 a single dynamic_update_slice
+        # keeps the write a contiguous DMA; the vmapped form lowers to a
+        # batched scatter (needed only when streams sit at different offsets).
+        if B == 1:
+            k_cache = lax.dynamic_update_slice(
+                state["k"], k.astype(state["k"].dtype), (0, 0, pos[0], 0)
+            )
+            v_cache = lax.dynamic_update_slice(
+                state["v"], v.astype(state["v"].dtype), (0, 0, pos[0], 0)
+            )
+        else:
+            def write(cache_b, new_b, p):
+                return lax.dynamic_update_slice(cache_b, new_b, (0, p, 0))
 
-        k_cache = jax.vmap(write)(state["k"], k.astype(state["k"].dtype), pos)
-        v_cache = jax.vmap(write)(state["v"], v.astype(state["v"].dtype), pos)
+            k_cache = jax.vmap(write)(state["k"], k.astype(state["k"].dtype), pos)
+            v_cache = jax.vmap(write)(state["v"], v.astype(state["v"].dtype), pos)
 
         # Query i (absolute pos[b]+i) may attend to cache slots j <= pos[b]+i.
         slots = jnp.arange(capacity, dtype=jnp.int32)
@@ -146,6 +155,23 @@ class CausalKVAttention:
 
         out = out.transpose(0, 2, 1, 3).reshape(B, T, self.embed_dim)
         return linear(out, params["out_proj"]["weight"]), {"k": k_cache, "v": v_cache}
+
+    def forward(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
+        """Cache-free full-sequence causal attention (training / teacher-forced
+        scoring path; inference uses the KV-cache __call__)."""
+        B, T, _ = x.shape
+        projected = linear(x, params["in_proj"]["weight"])
+        q, k, v = _split_qkv(projected, self.num_heads)
+        positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :], (B, T))
+        q, k = apply_rope(q, k, positions, self.max_period)
+        q = q.transpose(0, 2, 1, 3)
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
+        idx = jnp.arange(T, dtype=jnp.int32)
+        valid = idx[None, :] <= idx[:, None]
+        out = _sdpa(q, k, v, valid[None, None])
+        out = out.transpose(0, 2, 1, 3).reshape(B, T, self.embed_dim)
+        return linear(out, params["out_proj"]["weight"])
 
 
 @dataclass(frozen=True)
@@ -199,29 +225,15 @@ class WindowedRingAttention:
         k = k.transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)
 
-        # Ring update as a vectorized select: slot j receives new token
-        # (j - pos) mod capacity when that offset is < T. No scatter needed.
+        # Shift-append ring: the cache stays ordered oldest -> newest, so the
+        # update is a static slice + concat (contiguous copies, no gather or
+        # scatter — those lower catastrophically on TPU for this shape).
+        # Slot j then holds absolute position (pos + T) - capacity + j.
+        k_cache = jnp.concatenate([state["k"][:, :, T:], k.astype(state["k"].dtype)], axis=2)
+        v_cache = jnp.concatenate([state["v"][:, :, T:], v.astype(state["v"].dtype)], axis=2)
+
         slots = jnp.arange(capacity, dtype=jnp.int32)
-        written_offset = jnp.mod(slots[None, :] - pos[:, None], capacity)  # [B, cap]
-        take_new = written_offset < T
-        gather_idx = jnp.minimum(written_offset, T - 1)[:, None, :, None]  # [B,1,cap,1]
-
-        def ring_write(cache, new):
-            gathered = jnp.take_along_axis(
-                new.astype(cache.dtype),
-                jnp.broadcast_to(gather_idx, (B, new.shape[1], capacity, new.shape[3])),
-                axis=2,
-            )
-            return jnp.where(take_new[:, None, :, None], gathered, cache)
-
-        k_cache = ring_write(state["k"], k)
-        v_cache = ring_write(state["v"], v)
-
-        # Absolute position held by slot j after the write:
-        #   p(j) = end-1 - ((end-1-j) mod capacity), end = pos+T;
-        # unwritten slots land at negative p and are masked out.
-        end = pos + T
-        slot_pos = (end - 1)[:, None] - jnp.mod((end - 1)[:, None] - slots[None, :], capacity)
+        slot_pos = (pos + T - capacity)[:, None] + slots[None, :]  # [B, cap]
 
         delta = positions[:, :, None] - slot_pos[:, None, :]  # [B, T, cap]
         valid = (slot_pos[:, None, :] >= 0) & (delta >= 0) & (delta < self.context)

@@ -1,0 +1,166 @@
+"""Multi-chip dry run: compile + execute the full pipeline on an N-device mesh.
+
+Used by __graft_entry__.dryrun_multichip and the sharding tests. Runs on any
+backend (virtual CPU devices via --xla_force_host_platform_device_count=N, or
+real chips) and exercises, with real dp x tp shardings:
+
+  1. the fused generate segment (prefill + scan decode + Mimi vocoder), and
+  2. the FULL flow-matching training step (forward + backward + adamw update),
+
+each jitted over the mesh with batch sharded over dp and feed-forward weights
+sharded over tp.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from pocket_tts_tpu.config.schema import Config
+from pocket_tts_tpu.models.flow_lm import FlowLMModel
+from pocket_tts_tpu.models.generate import initial_carry, make_segment_fn
+from pocket_tts_tpu.models.mimi import MimiModel
+from pocket_tts_tpu.parallel.mesh import make_mesh, shard_batch_tree, shard_params
+from pocket_tts_tpu.training.flow_matching import init_train_state, make_train_step
+
+logger = logging.getLogger(__name__)
+
+_DRYRUN_CONFIG = {
+    "flow_lm": {
+        "dtype": "float32",
+        "flow": {"depth": 2, "dim": 32},
+        "transformer": {
+            "d_model": 64,
+            "hidden_scale": 2,
+            "max_period": 10000,
+            "num_heads": 4,
+            "num_layers": 2,
+        },
+        "lookup_table": {
+            "dim": 64,
+            "n_bins": 256,
+            "tokenizer": "sentencepiece",
+            "tokenizer_path": "unused://",
+        },
+    },
+    "mimi": {
+        "dtype": "float32",
+        "sample_rate": 24000,
+        "channels": 1,
+        "frame_rate": 12.5,
+        "seanet": {
+            "dimension": 48,
+            "channels": 1,
+            "n_filters": 4,
+            "n_residual_layers": 1,
+            "ratios": [6, 5, 4],
+            "kernel_size": 7,
+            "residual_kernel_size": 3,
+            "last_kernel_size": 3,
+            "dilation_base": 2,
+            "pad_mode": "constant",
+            "compress": 2,
+        },
+        "transformer": {
+            "d_model": 48,
+            "num_heads": 4,
+            "num_layers": 1,
+            "layer_scale": 0.01,
+            "context": 32,
+            "dim_feedforward": 96,
+            "input_dimension": 48,
+            "output_dimensions": [48],
+        },
+        "quantizer": {"dimension": 8, "output_dimension": 48},
+    },
+}
+
+
+def _pick_mesh_shape(n_devices: int) -> tuple[int, int]:
+    """Largest tp in {1,2,4} dividing n, rest dp — both axes exercised."""
+    for tp in (4, 2, 1):
+        if n_devices % tp == 0 and n_devices >= tp:
+            return max(1, n_devices // tp), tp
+    return n_devices, 1
+
+
+def dryrun_multichip(n_devices: int) -> None:
+    """Compile and run one sharded generate segment + one sharded train step."""
+    devices = jax.devices()[:n_devices]
+    assert len(devices) == n_devices, f"need {n_devices} devices, found {len(jax.devices())}"
+    dp, tp = _pick_mesh_shape(n_devices)
+    mesh = make_mesh(dp=dp, tp=tp, devices=devices)
+    logger.info("dryrun mesh: dp=%d tp=%d on %s", dp, tp, devices[0].platform)
+
+    cfg = Config(**_DRYRUN_CONFIG)
+    flow_lm = FlowLMModel(config=cfg.flow_lm, latent_dim=cfg.mimi.quantizer.dimension)
+    mimi = MimiModel(config=cfg.mimi)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    params = {"flow_lm": flow_lm.init_params(k1), "mimi": mimi.init_params(k2)}
+
+    B = 2 * dp  # two streams per dp shard
+    with mesh:
+        sharded_params = shard_params(mesh, params)
+
+        # ------------------------------------------------ 1. generate segment
+        capacity = 128
+        flow_state = shard_batch_tree(mesh, flow_lm.init_state(B, capacity), B)
+        mimi_state = shard_batch_tree(mesh, mimi.init_decode_state(B), B)
+
+        # prefill conditioning (the voice prompt) at per-stream positions
+        emb = jax.random.normal(jax.random.PRNGKey(1), (B, 8, flow_lm.dim), jnp.float32)
+        emb = shard_batch_tree(mesh, emb, B)
+        lengths = shard_batch_tree(mesh, jnp.full((B,), 8, jnp.int32), B)
+        prefill = jax.jit(flow_lm.prefill)
+        flow_state = prefill(sharded_params["flow_lm"], flow_state, emb, lengths)
+
+        carry = shard_batch_tree(
+            mesh, initial_carry(flow_lm, B, [3] * B, [4] * B), B
+        )
+        segment = jax.jit(make_segment_fn(flow_lm, mimi, 1, None, 2))
+        out = segment(
+            sharded_params,
+            flow_state,
+            mimi_state,
+            carry,
+            jax.random.PRNGKey(2),
+            jnp.float32(0.7),
+            jnp.float32(-4.0),
+        )
+        audio = np.asarray(out[3])
+        assert audio.shape == (B, 2, 1920), audio.shape
+        assert np.isfinite(audio).all()
+        logger.info("sharded generate segment OK: audio %s", audio.shape)
+
+        # ------------------------------------------------ 2. FULL training step
+        optimizer = optax.adamw(1e-4)
+        train_state = init_train_state(flow_lm, sharded_params["flow_lm"], optimizer)
+        train_step = jax.jit(make_train_step(flow_lm, optimizer))
+
+        tokens = shard_batch_tree(
+            mesh,
+            jax.random.randint(jax.random.PRNGKey(3), (B, 6), 0, 255),
+            B,
+        )
+        latents = shard_batch_tree(
+            mesh,
+            jax.random.normal(jax.random.PRNGKey(4), (B, 5, flow_lm.ldim), jnp.float32),
+            B,
+        )
+        eos = shard_batch_tree(mesh, jnp.zeros((B, 5), jnp.float32).at[:, -1].set(1.0), B)
+
+        train_state, metrics = train_step(
+            train_state, jax.random.PRNGKey(5), tokens, latents, eos
+        )
+        loss = float(metrics["loss"])
+        assert np.isfinite(loss), loss
+        logger.info("sharded train step OK: loss=%.4f", loss)
+
+    print(
+        f"dryrun_multichip OK: {n_devices} devices (dp={dp}, tp={tp}), "
+        f"generate segment audio {audio.shape}, train loss {loss:.4f}"
+    )

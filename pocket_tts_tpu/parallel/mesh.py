@@ -1,0 +1,74 @@
+"""Multi-chip layout: device mesh + sharding rules.
+
+The reference has no distributed code at all (SURVEY §2.3); this module is
+the TPU-native scaling story. The model is small (~110M params), so the
+primary axis is **dp** — shard the *batch of concurrent streams* across chips
+over ICI; all per-stream state (KV caches, ring buffers, conv overlaps,
+positions, decode carry) carries the batch in dim 0 by construction, so one
+rule shards the entire state pytree. **tp** additionally shards the
+feed-forward weights Megatron-style (row-parallel linear1, column-parallel
+linear2), letting XLA insert the reduce over ICI.
+
+All of this composes with jit: inputs carry NamedShardings, GSPMD propagates
+through the fused generate step and the training step unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(dp: int = 1, tp: int = 1, devices: Optional[Sequence] = None) -> Mesh:
+    """Create a (dp, tp) mesh. dp shards streams; tp shards feed-forward."""
+    if devices is None:
+        devices = jax.devices()
+    assert len(devices) >= dp * tp, f"need {dp * tp} devices, have {len(devices)}"
+    grid = np.asarray(devices[: dp * tp]).reshape(dp, tp)
+    return Mesh(grid, axis_names=("dp", "tp"))
+
+
+def _param_spec_for_path(path) -> P:
+    """Megatron-style FF sharding; everything else replicated.
+
+    linear1.weight [ffn, d_model] -> rows over tp (row-parallel)
+    linear2.weight [d_model, ffn] -> cols over tp (column-parallel, XLA
+    inserts the psum on the contraction)
+    """
+    keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
+    if "linear1" in keys:
+        return P("tp", None)
+    if "linear2" in keys:
+        return P(None, "tp")
+    return P()
+
+
+def shard_params(mesh: Mesh, params: dict) -> dict:
+    """Place params on the mesh with tp rules (replicated over dp)."""
+    def place(path, leaf):
+        return jax.device_put(leaf, NamedSharding(mesh, _param_spec_for_path(path)))
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+def state_sharding_spec(batch_size: int):
+    """Spec callable: shard dim 0 over dp for every per-stream leaf."""
+    def spec(leaf) -> P:
+        if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == batch_size:
+            return P("dp", *([None] * (leaf.ndim - 1)))
+        return P()
+
+    return spec
+
+
+def shard_batch_tree(mesh: Mesh, tree, batch_size: int):
+    """Place a state/carry/input pytree with the batch dim sharded over dp."""
+    spec = state_sharding_spec(batch_size)
+
+    def place(leaf):
+        return jax.device_put(leaf, NamedSharding(mesh, spec(leaf)))
+
+    return jax.tree_util.tree_map(place, tree)
