@@ -144,13 +144,17 @@ class FlowLMModel:
     ) -> State:
         """Fill the KV cache with conditioning embeddings.
 
-        Padded positions do write garbage cache slots beyond pos+length, but
-        those slots sit above each stream's advanced position, are masked by
-        the causal rule, and are overwritten by the next write at exactly
-        pos+length — so right-padding is safe with no scatter masking.
+        Padded positions are marked -1 and land in cache slots that are never
+        valid, so right-padded heterogeneous batches need no scatter or
+        cleanup (see ops/attention.CausalKVAttention).
         """
+        B, T, _ = embeddings.shape
+        offsets = jnp.arange(T, dtype=jnp.int32)[None, :]
+        positions = jnp.where(
+            offsets < lengths[:, None], state["pos"][:, None] + offsets, -1
+        )
         out, transformer_state = self.transformer(
-            params["transformer"], embeddings, state["transformer"], state["pos"]
+            params["transformer"], embeddings, state["transformer"], positions
         )
         del out
         return {"transformer": transformer_state, "pos": state["pos"] + lengths}
@@ -173,7 +177,7 @@ class FlowLMModel:
         x = linear(seq[:, None, :], params["input_linear"]["weight"])  # [B, 1, dim]
 
         h, transformer_state = self.transformer(
-            params["transformer"], x, state["transformer"], state["pos"]
+            params["transformer"], x, state["transformer"], state["pos"][:, None]
         )
         h = layer_norm(
             h, params["out_norm"]["weight"], params["out_norm"]["bias"], eps=1e-5
@@ -196,20 +200,37 @@ class FlowLMModel:
     # ------------------------------------------------------------------ state utils
 
     def expand_state(self, state: State, capacity: int) -> State:
-        """Grow KV capacity (zero-padded) to at least `capacity`.
+        """Grow KV capacity to at least `capacity` (functional analogue of the
+        reference's in-place cache expansion, tts_model.py:278-295). k/v pad
+        with zeros; slot_pos pads with -1 (invalid)."""
+        def grow_layer(layer: State) -> State:
+            cur = layer["k"].shape[2]
+            if cur >= capacity:
+                return layer
+            pad = capacity - cur
+            return {
+                "k": jnp.pad(layer["k"], ((0, 0), (0, 0), (0, pad), (0, 0))),
+                "v": jnp.pad(layer["v"], ((0, 0), (0, 0), (0, pad), (0, 0))),
+                "slot_pos": jnp.pad(layer["slot_pos"], ((0, 0), (0, pad)), constant_values=-1),
+                "widx": layer["widx"],
+            }
 
-        Functional analogue of the reference's in-place cache expansion
-        (reference: pocket_tts_mlx/models/tts_model.py:278-295)."""
-        def grow(leaf):
-            if leaf.ndim == 4 and leaf.shape[2] < capacity:  # [B, H, cap, d]
-                pad = capacity - leaf.shape[2]
-                return jnp.pad(leaf, ((0, 0), (0, 0), (0, pad), (0, 0)))
-            return leaf
-
-        return {
-            "transformer": jax.tree_util.tree_map(grow, state["transformer"]),
-            "pos": state["pos"],
-        }
+        layers = [grow_layer(l) for l in state["transformer"]["layers"]]
+        return {"transformer": {"layers": layers}, "pos": state["pos"]}
 
     def state_capacity(self, state: State) -> int:
         return state["transformer"]["layers"][0]["k"].shape[2]
+
+    def state_written(self, state: State) -> "jnp.ndarray":
+        """Device-side write index (slots consumed so far)."""
+        return state["transformer"]["layers"][0]["widx"]
+
+    def invalidate_after(self, state: State, pos_target: jnp.ndarray) -> State:
+        """Mark cache slots at positions >= pos_target[b] invalid — used to
+        rewind streams past frames computed after their EOS break point."""
+        def fix(layer: State) -> State:
+            slot_pos = jnp.where(layer["slot_pos"] >= pos_target[:, None], -1, layer["slot_pos"])
+            return {**layer, "slot_pos": slot_pos}
+
+        layers = [fix(l) for l in state["transformer"]["layers"]]
+        return {"transformer": {"layers": layers}, "pos": jnp.asarray(pos_target, jnp.int32)}

@@ -27,12 +27,17 @@ from pocket_tts_tpu.models.mimi import MimiModel
 
 
 def initial_carry(flow_lm: FlowLMModel, batch: int, frames_after_eos, max_gen) -> dict:
-    """Fresh decode carry for a batch: BOS flags, EOS sentinels, step counter."""
+    """Fresh decode carry for a batch: BOS flags, EOS sentinels, step counters.
+
+    `step` is per-stream so the continuous-batching engine can admit new
+    streams mid-flight; `tick` is the global frame counter used only for RNG
+    folding (equal to step for whole-batch generation)."""
     return {
         "latent": jnp.zeros((batch, flow_lm.ldim), dtype=jnp.float32),
         "is_bos": jnp.ones((batch,), dtype=jnp.bool_),
         "eos_step": jnp.full((batch,), 2**30, dtype=jnp.int32),
-        "step": jnp.zeros((), dtype=jnp.int32),
+        "step": jnp.zeros((batch,), dtype=jnp.int32),
+        "tick": jnp.zeros((), dtype=jnp.int32),
         "frames_after_eos": jnp.asarray(frames_after_eos, dtype=jnp.int32),
         "max_gen": jnp.asarray(max_gen, dtype=jnp.int32),
     }
@@ -60,7 +65,7 @@ def make_segment_fn(
 
         def step(loop_carry, _):
             flow_state, mimi_state, c = loop_carry
-            rng_i = jax.random.fold_in(rng, c["step"])
+            rng_i = jax.random.fold_in(rng, c["tick"])
             flow_state, next_latent, is_eos = flow_lm.decode_step(
                 flow_params,
                 flow_state,
@@ -84,6 +89,7 @@ def make_segment_fn(
                 "is_bos": jnp.zeros_like(c["is_bos"]),
                 "eos_step": eos_step,
                 "step": c["step"] + 1,
+                "tick": c["tick"] + 1,
                 "frames_after_eos": c["frames_after_eos"],
                 "max_gen": c["max_gen"],
             }

@@ -196,8 +196,9 @@ class MimiModel:
             emb, new_state["upsample"] = self.upsample(
                 params["upsample"]["convtr"]["convtr"], emb, state["upsample"]
             )
+        positions = state["pos"][:, None] + jnp.arange(emb.shape[-1], dtype=jnp.int32)[None, :]
         (emb,), new_state["decoder_transformer"] = self.decoder_transformer(
-            params["decoder_transformer"], emb, state["decoder_transformer"], state["pos"]
+            params["decoder_transformer"], emb, state["decoder_transformer"], positions
         )
         out, new_state["decoder"] = self.decoder(params["decoder"], emb, state["decoder"])
         new_state["pos"] = state["pos"] + emb.shape[-1]

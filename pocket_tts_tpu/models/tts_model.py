@@ -117,9 +117,11 @@ class ModelState:
     host so orchestration never needs a device sync to size caches.
     """
 
-    def __init__(self, tree: Dict, pos: list[int]):
+    def __init__(self, tree: Dict, pos: list[int], written: int | None = None):
         self.tree = tree
         self.pos = list(pos)
+        # Host mirror of the cache write index (slots consumed; batch-common).
+        self.written = int(written) if written is not None else max(self.pos, default=0)
 
     @property
     def batch_size(self) -> int:
@@ -425,7 +427,7 @@ class TTSModel:
         with display_execution_time("Prompting audio"):
             state = fns["cond"](self.params, state, prompt, lengths)
             jax.block_until_ready(state)
-        model_state = ModelState(state, [T] * B)
+        model_state = ModelState(state, [T] * B, written=T)
         logger.info(
             "Size of the model state for audio prompt: %d MB",
             model_state.size_bytes() // 1_000_000,
@@ -555,7 +557,14 @@ class TTSModel:
             tokens[b, : len(toks)] = toks
         lengths = np.asarray(token_counts, dtype=np.int32)
 
-        required = max(p + c + g for p, c, g in zip(model_state.pos, token_counts, max_gen))
+        max_gen_all = int(max(max_gen))
+        if bulk:
+            dispatch_budget = -(-max_gen_all // _BULK_SEGMENT_FRAMES) * _BULK_SEGMENT_FRAMES
+        else:
+            dispatch_budget = max_gen_all
+        # Slot-indexed cache: capacity counts every write (incl. padding),
+        # not stream positions.
+        required = model_state.written + t_pad + dispatch_budget
         capacity = _bucket(required)
         if self.flow_lm.state_capacity(tree) < capacity:
             tree = self.flow_lm.expand_state(tree, capacity)
@@ -578,8 +587,6 @@ class TTSModel:
         rng = self._next_rng()
         temp = jnp.float32(self.temp)
         eos_threshold = jnp.float32(self.eos_threshold)
-
-        max_gen_all = int(max(max_gen))
 
         def schedule_iter():
             if bulk:
@@ -646,22 +653,21 @@ class TTSModel:
         # Restore exact continuation semantics: FlowLM ran
         # min(eos_step + frames_after_eos + 1, max_gen) steps per stream in the
         # reference loop (tts_model.py:402-412); rewind positions past any
-        # extra masked steps computed inside the last segment. Slots above pos
-        # are causally masked and later overwritten, so no cache cleanup needed.
+        # extra masked steps and invalidate the cache slots they wrote.
         eos_step_np = np.asarray(jax.device_get(carry["eos_step"]))
         steps_entered = np.minimum(
             np.minimum(eos_step_np + np.asarray(frames_after_eos) + 1, np.asarray(max_gen)),
-            steps_ran,
+            dispatched,
         )
         new_pos = [
             int(p + c + s) for p, c, s in zip(model_state.pos, token_counts, steps_entered)
         ]
         if not copy_state:
-            model_state.tree = {
-                "transformer": flow_state["transformer"],
-                "pos": jnp.asarray(new_pos, dtype=jnp.int32),
-            }
+            model_state.tree = self.flow_lm.invalidate_after(
+                flow_state, jnp.asarray(new_pos, dtype=jnp.int32)
+            )
             model_state.pos = new_pos
+            model_state.written = model_state.written + t_pad + dispatched
 
         duration_ms = int(total_emitted_samples / B * 1000 / self.sample_rate)
         generation_ms = int((time.monotonic() - t_generating) * 1000)
@@ -750,14 +756,23 @@ class TTSModel:
 def stack_states(flow_lm: FlowLMModel, states: Sequence[ModelState]) -> ModelState:
     """Stack single-stream voice states into one batched state.
 
-    Capacities are equalized to the largest bucket; per-stream positions are
-    preserved, so voices with different prompt lengths batch together.
+    Capacities are equalized to the largest bucket and write indices aligned
+    to the maximum (slots between a stream's own writes and the common index
+    are invalid and never attended), so voices with different prompt lengths
+    batch together.
     """
     if len(states) == 1 and states[0].batch_size > 1:
         return states[0]
     capacity = max(flow_lm.state_capacity(s.tree) for s in states)
     trees = [flow_lm.expand_state(s.tree, capacity) for s in states]
-    batched = jax.tree_util.tree_map(lambda *leaves: jnp.concatenate(leaves, axis=0), *trees)
+
+    def stack_leaf(*leaves):
+        if leaves[0].ndim == 0:  # widx: batch-common write index
+            return jnp.max(jnp.stack(leaves))
+        return jnp.concatenate(leaves, axis=0)
+
+    batched = jax.tree_util.tree_map(stack_leaf, *trees)
     pos = [p for s in states for p in s.pos]
     batched["pos"] = jnp.asarray(pos, dtype=jnp.int32)
-    return ModelState(batched, pos)
+    written = max(s.written for s in states)
+    return ModelState(batched, pos, written=written)

@@ -2,22 +2,22 @@
 
 Two flavors, mirroring the reference semantics but redesigned for XLA:
 
-- CausalKVAttention (FlowLM backbone): an append-style KV cache. The
-  reference grows its cache dynamically and encodes the stream position in an
-  array *shape* (reference: pocket_tts_mlx/modules/attention.py:108-182,
-  :127-137); here the cache has a fixed capacity chosen up front and the
-  position is an int32 vector [B] carried in the state pytree, so every
-  decode step compiles once and runs with zero host syncs. Positions are
-  per-stream, which is what makes heterogeneous batched serving possible
-  (the reference is hard-coded to batch 1).
+- CausalKVAttention (FlowLM backbone): a slot-indexed KV cache with a
+  batch-common write index and per-slot absolute positions, so appends are a
+  single contiguous dynamic_update_slice and heterogeneous batches need no
+  scatter (see class docstring). The reference grows its cache dynamically
+  and encodes position in an array *shape*
+  (reference: pocket_tts_mlx/modules/attention.py:108-182, :127-137).
 
-- WindowedRingAttention (Mimi codec): a fixed-capacity ring buffer over the
-  last `capacity` keys with a sliding window mask of `context` positions.
-  The reference scatters into its ring with a Python B*T loop
-  (reference: pocket_tts_mlx/modules/attention.py:67-105, noted there as an
-  MLX workaround); here the update is a vectorized select over ring slots and
-  the validity mask is recomputed from absolute positions, so no position
-  array needs to be stored at all.
+- WindowedRingAttention (Mimi codec): a shift-append ring — the cache stays
+  ordered oldest -> newest so the update is a static slice+concat and slot
+  positions are pure arithmetic. The reference scatters into its ring with a
+  Python B*T loop (reference: pocket_tts_mlx/modules/attention.py:67-105,
+  noted there as an MLX workaround).
+
+Both take positions [B, T] (int32 absolute stream positions, -1 = padding),
+which is what makes batched serving with per-stream offsets possible (the
+reference is hard-coded to batch 1).
 
 All masks are applied as float32 select before softmax; matmuls accumulate in
 float32 via preferred_element_type.
@@ -94,7 +94,18 @@ def _init_proj_params(key: jax.Array, embed_dim: int, dtype) -> Params:
 
 @dataclass(frozen=True)
 class CausalKVAttention:
-    """Full-history causal attention with a fixed-capacity appended KV cache."""
+    """Full-history causal attention with a slot-indexed KV cache.
+
+    Storage is decoupled from stream position: every call appends its T
+    entries at a batch-common write index (`widx`, one contiguous
+    dynamic_update_slice — never a scatter, which lowers catastrophically on
+    TPU for per-stream offsets), while each slot records the *absolute stream
+    position* it holds in `slot_pos` ([B, capacity], -1 = invalid). Masking is
+    computed from positions, so right-padded prefills (positions -1 beyond a
+    stream's length) and heterogeneous batches cost nothing: padded slots are
+    simply never valid. The reference encodes position in the cache's array
+    shape instead (pocket_tts_mlx/modules/attention.py:127-137).
+    """
 
     embed_dim: int
     num_heads: int
@@ -109,52 +120,47 @@ class CausalKVAttention:
 
     def init_state(self, batch_size: int, capacity: int, dtype=jnp.float32) -> State:
         shape = (batch_size, self.num_heads, capacity, self.head_dim)
-        return {"k": jnp.zeros(shape, dtype=dtype), "v": jnp.zeros(shape, dtype=dtype)}
+        return {
+            "k": jnp.zeros(shape, dtype=dtype),
+            "v": jnp.zeros(shape, dtype=dtype),
+            "slot_pos": jnp.full((batch_size, capacity), -1, dtype=jnp.int32),
+            "widx": jnp.zeros((), dtype=jnp.int32),
+        }
 
     def __call__(
         self,
         params: Params,
         x: jnp.ndarray,  # [B, T, E]
         state: State,
-        pos: jnp.ndarray,  # int32 [B]: number of tokens already cached
+        positions: jnp.ndarray,  # int32 [B, T]: absolute positions, -1 = padding
     ) -> tuple[jnp.ndarray, State]:
         B, T, _ = x.shape
-        capacity = state["k"].shape[2]
 
         projected = linear(x, params["in_proj"]["weight"])
         q, k, v = _split_qkv(projected, self.num_heads)
 
-        positions = pos[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]  # [B, T]
-        q, k = apply_rope(q, k, positions, self.max_period)
+        q, k = apply_rope(q, k, jnp.maximum(positions, 0), self.max_period)
 
         q = q.transpose(0, 2, 1, 3)  # [B, H, T, d]
         k = k.transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)
 
-        # Per-stream append at pos[b]. For B == 1 a single dynamic_update_slice
-        # keeps the write a contiguous DMA; the vmapped form lowers to a
-        # batched scatter (needed only when streams sit at different offsets).
-        if B == 1:
-            k_cache = lax.dynamic_update_slice(
-                state["k"], k.astype(state["k"].dtype), (0, 0, pos[0], 0)
-            )
-            v_cache = lax.dynamic_update_slice(
-                state["v"], v.astype(state["v"].dtype), (0, 0, pos[0], 0)
-            )
-        else:
-            def write(cache_b, new_b, p):
-                return lax.dynamic_update_slice(cache_b, new_b, (0, p, 0))
+        widx = state["widx"]
+        k_cache = lax.dynamic_update_slice(state["k"], k.astype(state["k"].dtype), (0, 0, widx, 0))
+        v_cache = lax.dynamic_update_slice(state["v"], v.astype(state["v"].dtype), (0, 0, widx, 0))
+        slot_pos = lax.dynamic_update_slice(state["slot_pos"], positions, (0, widx))
 
-            k_cache = jax.vmap(write)(state["k"], k.astype(state["k"].dtype), pos)
-            v_cache = jax.vmap(write)(state["v"], v.astype(state["v"].dtype), pos)
-
-        # Query i (absolute pos[b]+i) may attend to cache slots j <= pos[b]+i.
-        slots = jnp.arange(capacity, dtype=jnp.int32)
-        valid = slots[None, None, :] <= positions[:, :, None]  # [B, T, cap]
+        # Query at absolute position p attends to slots holding positions
+        # [0, p]; invalid slots (-1) and padded queries are masked out.
+        valid = (
+            (slot_pos[:, None, :] >= 0)
+            & (slot_pos[:, None, :] <= positions[:, :, None])
+        )  # [B, T, cap]
         out = _sdpa(q, k_cache.astype(q.dtype), v_cache.astype(q.dtype), valid[:, None])
 
         out = out.transpose(0, 2, 1, 3).reshape(B, T, self.embed_dim)
-        return linear(out, params["out_proj"]["weight"]), {"k": k_cache, "v": v_cache}
+        new_state = {"k": k_cache, "v": v_cache, "slot_pos": slot_pos, "widx": widx + T}
+        return linear(out, params["out_proj"]["weight"]), new_state
 
     def forward(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
         """Cache-free full-sequence causal attention (training / teacher-forced
@@ -209,16 +215,16 @@ class WindowedRingAttention:
         params: Params,
         x: jnp.ndarray,  # [B, T, E]
         state: State,
-        pos: jnp.ndarray,  # int32 [B]: absolute stream offset of x[:, 0]
+        positions: jnp.ndarray,  # int32 [B, T]: absolute positions of x
     ) -> tuple[jnp.ndarray, State]:
         B, T, _ = x.shape
         capacity = state["k"].shape[2]
         assert capacity >= self.context + T, "ring must retain a full window plus the new chunk"
+        pos = positions[:, 0]
 
         projected = linear(x, params["in_proj"]["weight"])
         q, k, v = _split_qkv(projected, self.num_heads)
 
-        positions = pos[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]  # [B, T]
         q, k = apply_rope(q, k, positions, self.max_period)
 
         q = q.transpose(0, 2, 1, 3)

@@ -107,10 +107,10 @@ class StreamingTransformerLayer:
         return x + self._scaled(params, "layer_scale_2", h)
 
     def __call__(
-        self, params: Params, x: jnp.ndarray, state: State, pos: jnp.ndarray
+        self, params: Params, x: jnp.ndarray, state: State, positions: jnp.ndarray
     ) -> tuple[jnp.ndarray, State]:
         h = layer_norm(x, params["norm1"]["weight"], params["norm1"]["bias"], eps=1e-5)
-        update, new_state = self.self_attn(params["self_attn"], h, state, pos)
+        update, new_state = self.self_attn(params["self_attn"], h, state, positions)
         x = x + self._scaled(params, "layer_scale_1", update)
         return self._ff(params, x), new_state
 
@@ -160,11 +160,11 @@ class StreamingTransformer:
         }
 
     def __call__(
-        self, params: Params, x: jnp.ndarray, state: State, pos: jnp.ndarray
+        self, params: Params, x: jnp.ndarray, state: State, positions: jnp.ndarray
     ) -> tuple[jnp.ndarray, State]:
         new_layer_states = []
         for layer, l_params, l_state in zip(self.layers, params["layers"], state["layers"]):
-            x, l_state = layer(l_params, x, l_state, pos)
+            x, l_state = layer(l_params, x, l_state, positions)
             new_layer_states.append(l_state)
         return x, {"layers": new_layer_states}
 
@@ -248,10 +248,10 @@ class ProjectedTransformer:
         return tuple(ys)
 
     def __call__(
-        self, params: Params, x: jnp.ndarray, state: State, pos: jnp.ndarray
+        self, params: Params, x: jnp.ndarray, state: State, positions: jnp.ndarray
     ) -> tuple[tuple[jnp.ndarray, ...], State]:
         h = self._project_in(params, x)
-        z, new_state = self.transformer(params["transformer"], h, state, pos)
+        z, new_state = self.transformer(params["transformer"], h, state, positions)
         return self._project_out(params, z), new_state
 
     def forward(self, params: Params, x: jnp.ndarray) -> tuple[jnp.ndarray, ...]:

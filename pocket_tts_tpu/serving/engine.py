@@ -1,0 +1,370 @@
+"""Continuous-batching TTS engine: many concurrent streams on one chip.
+
+New TPU-native capability (the reference synthesizes exactly one utterance at
+a time in a Python loop; SURVEY §2.3). The engine owns B decode *slots* whose
+state lives persistently on device:
+
+  - FlowLM slot-indexed KV caches + positions  (models/flow_lm.py)
+  - Mimi vocoder streaming state               (models/mimi.py)
+  - decode carry (per-slot step/EOS counters)  (models/generate.py)
+
+Each tick runs ONE fused jitted program — batched prefill for newly admitted
+requests (inactive slots prefill length 0, writing only invalid positions)
+followed by an S-frame decode segment — so admission never stalls running
+streams and the device never idles between requests. Completed slots are
+retired on the host from the fetched emit masks and immediately reusable.
+
+The slot-indexed cache writes at a batch-common index that only grows; when
+the write index approaches capacity the engine *compacts*: every slot's valid
+entries are gathered to the front of its row (one gather, amortized over
+~capacity frames).
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pocket_tts_tpu.default_parameters import DEFAULT_SEGMENT_FRAMES
+from pocket_tts_tpu.models.generate import make_segment_fn
+from pocket_tts_tpu.models.text import estimate_max_gen_len, prepare_text_prompt
+from pocket_tts_tpu.models.tts_model import ModelState, TTSModel, _bucket
+
+logger = logging.getLogger(__name__)
+
+_EOS_NEVER = 2**30
+
+
+@dataclass
+class RequestHandle:
+    """Consumer side of a submitted request: iterate frames() for audio."""
+
+    request_id: int
+    text: str
+    _queue: "queue.Queue[Optional[np.ndarray]]" = field(default_factory=queue.Queue)
+    _done: threading.Event = field(default_factory=threading.Event)
+
+    def frames(self):
+        """Yield 1920-sample float32 frames until the utterance completes."""
+        while True:
+            frame = self._queue.get()
+            if frame is None:
+                return
+            yield frame
+
+    def audio(self) -> np.ndarray:
+        """Block until completion and return the full waveform."""
+        chunks = list(self.frames())
+        if not chunks:
+            return np.zeros((0,), dtype=np.float32)
+        return np.concatenate(chunks, axis=0)
+
+    @property
+    def done(self) -> bool:
+        return self._done.is_set()
+
+
+@dataclass
+class _Slot:
+    active: bool = False
+    handle: Optional[RequestHandle] = None
+    emitted: int = 0
+
+
+class TTSEngine:
+    """Slot-based continuous batching over the fused generate step."""
+
+    def __init__(
+        self,
+        model: TTSModel,
+        slots: int = 8,
+        segment_frames: int = DEFAULT_SEGMENT_FRAMES,
+        capacity: int = 4096,
+        text_pad: int = 64,
+        warmup_frames: int = 1,
+    ):
+        self.model = model
+        self.num_slots = slots
+        self.segment_frames = segment_frames
+        self.capacity = capacity
+        self.text_pad = text_pad
+        self.warmup_frames = warmup_frames
+
+        flow_lm, mimi = model.flow_lm, model.mimi
+        B = slots
+        self.flow_state = flow_lm.init_state(B, capacity)
+        self.mimi_state = mimi.init_decode_state(B)
+        self.carry = {
+            "latent": jnp.zeros((B, flow_lm.ldim), dtype=jnp.float32),
+            "is_bos": jnp.ones((B,), dtype=jnp.bool_),
+            "eos_step": jnp.full((B,), _EOS_NEVER, dtype=jnp.int32),
+            "step": jnp.zeros((B,), dtype=jnp.int32),
+            "tick": jnp.zeros((), dtype=jnp.int32),
+            "frames_after_eos": jnp.zeros((B,), dtype=jnp.int32),
+            "max_gen": jnp.zeros((B,), dtype=jnp.int32),  # 0 = inactive slot
+        }
+        self._written = 0  # host mirror of the batch-common write index
+        self._pos = [0] * B  # host mirror of per-slot stream positions
+
+        self._slots = [_Slot() for _ in range(B)]
+        self._pending: "queue.Queue[tuple[RequestHandle, ModelState, int, int, list[int]]]" = (
+            queue.Queue()
+        )
+        self._next_id = 0
+        self._lock = threading.Lock()
+
+        self._segment = jax.jit(
+            make_segment_fn(
+                flow_lm, mimi, model.lsd_decode_steps, model.noise_clamp, segment_frames
+            ),
+            donate_argnums=(1, 2, 3),
+        )
+        self._prefill = jax.jit(self._prefill_fn)
+        self._rng = jax.random.PRNGKey(1234)
+
+    # ------------------------------------------------------------ jit bodies
+
+    def _prefill_fn(self, params, flow_state, tokens, lengths):
+        emb = self.model.flow_lm.embed_text(params["flow_lm"], tokens)
+        return self.model.flow_lm.prefill(params["flow_lm"], flow_state, emb, lengths)
+
+    # ------------------------------------------------------------ submission
+
+    def submit(
+        self,
+        text: str,
+        voice_state: ModelState,
+        frames_after_eos: Optional[int] = None,
+    ) -> RequestHandle:
+        """Queue an utterance; returns a handle streaming its frames."""
+        prepared_text, guess = prepare_text_prompt(text)
+        del prepared_text
+        fae = frames_after_eos if frames_after_eos is not None else guess + 2
+        tokens = self.model.tokenizer.encode(text)
+        max_gen = estimate_max_gen_len(len(tokens), self.model.config.mimi.frame_rate)
+        with self._lock:
+            handle = RequestHandle(self._next_id, text)
+            self._next_id += 1
+        self._pending.put((handle, voice_state, fae, max_gen, tokens))
+        return handle
+
+    # ------------------------------------------------------------ admission
+
+    def _splice_row(self, batch_tree, row_tree, b: int):
+        """Copy a B=1 state pytree into row b of the batch pytree."""
+        def splice(batch_leaf, row_leaf):
+            if batch_leaf.ndim == 0:
+                return batch_leaf  # batch-common scalars (widx) stay
+            return batch_leaf.at[b].set(row_leaf[0].astype(batch_leaf.dtype))
+
+        return jax.tree_util.tree_map(splice, batch_tree, row_tree)
+
+    def _admit(self, b: int, handle, voice_state: ModelState, fae: int, max_gen: int, tokens):
+        flow_lm, mimi, model = self.model.flow_lm, self.model.mimi, self.model
+
+        # 1. Voice KV rows -> slot b (slots between the voice's writes and the
+        #    batch write index stay invalid; see slot-indexed cache design).
+        voice_tree = flow_lm.expand_state(voice_state.tree, self.capacity)
+        self.flow_state = {
+            "transformer": self._splice_row(
+                self.flow_state["transformer"], voice_tree["transformer"], b
+            ),
+            "pos": self.flow_state["pos"].at[b].set(voice_state.pos[0]),
+        }
+        self._pos[b] = voice_state.pos[0]
+
+        # The batch write index must clear the spliced voice's own writes,
+        # otherwise the next prefill would overwrite the voice KV rows.
+        if voice_state.written > self._written:
+            self._written = voice_state.written
+            widx = jnp.asarray(self._written, jnp.int32)
+            self.flow_state = {
+                "transformer": {
+                    "layers": [
+                        {**layer, "widx": widx}
+                        for layer in self.flow_state["transformer"]["layers"]
+                    ]
+                },
+                "pos": self.flow_state["pos"],
+            }
+
+        # 2. Fresh Mimi state + warmup for this slot only (B=1, then splice).
+        row_mimi = mimi.init_decode_state(1)
+        if self.warmup_frames > 0:
+            frame_fn = model._mimi_frame_jit(1)
+            zero_latent = jnp.zeros((1, flow_lm.ldim), dtype=jnp.float32)
+            for _ in range(self.warmup_frames):
+                _, row_mimi = frame_fn(model.params, zero_latent, row_mimi)
+        self.mimi_state = self._splice_row(self.mimi_state, row_mimi, b)
+
+        # 3. Reset the slot's carry lanes.
+        c = self.carry
+        self.carry = {
+            "latent": c["latent"].at[b].set(0.0),
+            "is_bos": c["is_bos"].at[b].set(True),
+            "eos_step": c["eos_step"].at[b].set(_EOS_NEVER),
+            "step": c["step"].at[b].set(0),
+            "tick": c["tick"],
+            "frames_after_eos": c["frames_after_eos"].at[b].set(fae),
+            "max_gen": c["max_gen"].at[b].set(max_gen),
+        }
+
+        slot = self._slots[b]
+        slot.active = True
+        slot.handle = handle
+        slot.emitted = 0
+        logger.info("engine: admitted request %d into slot %d", handle.request_id, b)
+        return tokens
+
+    def _prefill_admitted(self, admitted: list[tuple[int, list[int]]]):
+        """One batched prefill for all newly admitted slots (others length 0)."""
+        B = self.num_slots
+        tokens = np.zeros((B, self.text_pad), dtype=np.int32)
+        lengths = np.zeros((B,), dtype=np.int32)
+        for b, toks in admitted:
+            toks = toks[: self.text_pad]
+            tokens[b, : len(toks)] = toks
+            lengths[b] = len(toks)
+            self._pos[b] += len(toks)
+        self.flow_state = self._prefill(
+            self.model.params, self.flow_state, jnp.asarray(tokens), jnp.asarray(lengths)
+        )
+        self._written += self.text_pad
+
+    # ------------------------------------------------------------ compaction
+
+    def _maybe_compact(self):
+        """Gather each slot's valid cache entries to the row front when the
+        shared write index nears capacity."""
+        budget = self.text_pad + 4 * self.segment_frames
+        if self._written + budget < self.capacity:
+            return
+        logger.info("engine: compacting KV cache (written=%d)", self._written)
+        max_valid = _bucket(max(self._pos) + 1)
+
+        def compact_layer(layer):
+            slot_pos = layer["slot_pos"]  # [B, cap]
+            order = jnp.argsort(
+                jnp.where(slot_pos >= 0, slot_pos, 2**30), axis=1
+            )  # valid entries first, in position order
+            gathered_pos = jnp.take_along_axis(slot_pos, order, axis=1)
+            idx = order[:, None, :, None]
+
+            def g(a):
+                return jnp.take_along_axis(
+                    a, jnp.broadcast_to(idx, (a.shape[0], a.shape[1], a.shape[2], a.shape[3])),
+                    axis=2,
+                )
+
+            return {
+                "k": g(layer["k"]),
+                "v": g(layer["v"]),
+                "slot_pos": gathered_pos,
+                "widx": jnp.asarray(max_valid, jnp.int32),
+            }
+
+        layers = [compact_layer(l) for l in self.flow_state["transformer"]["layers"]]
+        self.flow_state = {
+            "transformer": {"layers": layers},
+            "pos": self.flow_state["pos"],
+        }
+        self._written = max_valid
+
+    # ------------------------------------------------------------ main loop
+
+    def step(self) -> int:
+        """Admit pending requests, decode one segment, deliver frames.
+
+        Returns the number of active slots after the tick.
+        """
+        admitted = []
+        for b, slot in enumerate(self._slots):
+            if slot.active:
+                continue
+            try:
+                handle, voice, fae, max_gen, tokens = self._pending.get_nowait()
+            except queue.Empty:
+                break
+            toks = self._admit(b, handle, voice, fae, max_gen, tokens)
+            admitted.append((b, toks))
+        if admitted:
+            self._maybe_compact()
+            self._prefill_admitted(admitted)
+
+        if not any(s.active for s in self._slots):
+            return 0
+
+        self._maybe_compact()
+        self._rng, rng = jax.random.split(self._rng)
+        (
+            self.flow_state,
+            self.mimi_state,
+            self.carry,
+            audio,
+            emit,
+            _,
+        ) = self._segment(
+            self.model.params,
+            self.flow_state,
+            self.mimi_state,
+            self.carry,
+            rng,
+            jnp.float32(self.model.temp),
+            jnp.float32(self.model.eos_threshold),
+        )
+        self._written += self.segment_frames
+        for b in range(self.num_slots):
+            if self._slots[b].active:
+                self._pos[b] += self.segment_frames
+
+        audio_np, emit_np, eos_step, step, fae_np, max_gen_np = jax.device_get(
+            (
+                audio,
+                emit,
+                self.carry["eos_step"],
+                self.carry["step"],
+                self.carry["frames_after_eos"],
+                self.carry["max_gen"],
+            )
+        )
+        for b, slot in enumerate(self._slots):
+            if not slot.active:
+                continue
+            for s in range(self.segment_frames):
+                if emit_np[b, s]:
+                    slot.handle._queue.put(audio_np[b, s])
+                    slot.emitted += 1
+            # Done when the reference loop would have exited
+            # (step >= eos_step + frames_after_eos, capped by max_gen).
+            steps_target = min(int(eos_step[b]) + int(fae_np[b]), int(max_gen_np[b]))
+            if int(step[b]) >= steps_target:
+                slot.handle._queue.put(None)
+                slot.handle._done.set()
+                slot.active = False
+                slot.handle = None
+        return sum(s.active for s in self._slots)
+
+    def run(self, stop_when_idle: bool = True) -> None:
+        """Pump the engine until all submitted work is done (or forever)."""
+        idle_ticks = 0
+        while True:
+            active = self.step()
+            if active == 0 and self._pending.empty():
+                idle_ticks += 1
+                if stop_when_idle and idle_ticks > 1:
+                    return
+            else:
+                idle_ticks = 0
+
+    def serve_forever_in_thread(self) -> threading.Thread:
+        """Run the engine loop on a daemon thread (for server frontends)."""
+        thread = threading.Thread(target=self.run, kwargs={"stop_when_idle": False}, daemon=True)
+        thread.start()
+        return thread

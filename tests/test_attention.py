@@ -21,8 +21,8 @@ def test_causal_prefill_matches_torch_full_attention():
     x = RNG.standard_normal((B, T, 64)).astype(np.float32)
 
     state = attn.init_state(B, capacity=32)
-    pos = jnp.zeros((B,), dtype=jnp.int32)
-    out, _ = attn(params, jnp.array(x), state, pos)
+    positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :], (B, T))
+    out, _ = attn(params, jnp.array(x), state, positions)
 
     ref = tm.causal_attention(
         x, _np(params["in_proj"]["weight"]), _np(params["out_proj"]["weight"]), num_heads=4
@@ -37,16 +37,17 @@ def test_causal_streaming_stepwise_equals_full():
     B, T = 1, 9
     x = RNG.standard_normal((B, T, 32)).astype(np.float32)
 
-    state = attn.init_state(B, capacity=16)
-    full, _ = attn(params, jnp.array(x), state, jnp.zeros((B,), jnp.int32))
+    def positions(start, n):
+        return jnp.broadcast_to(jnp.arange(start, start + n, dtype=jnp.int32)[None, :], (B, n))
 
     state = attn.init_state(B, capacity=16)
-    out5, state = attn(params, jnp.array(x[:, :5]), state, jnp.zeros((B,), jnp.int32))
+    full, _ = attn(params, jnp.array(x), state, positions(0, T))
+
+    state = attn.init_state(B, capacity=16)
+    out5, state = attn(params, jnp.array(x[:, :5]), state, positions(0, 5))
     outs = [_np(out5)]
     for t in range(5, T):
-        y, state = attn(
-            params, jnp.array(x[:, t : t + 1]), state, jnp.full((B,), t, jnp.int32)
-        )
+        y, state = attn(params, jnp.array(x[:, t : t + 1]), state, positions(t, 1))
         outs.append(_np(y))
     streamed = np.concatenate(outs, axis=1)
     np.testing.assert_allclose(streamed, _np(full), rtol=1e-4, atol=1e-5)
@@ -64,25 +65,34 @@ def test_causal_per_stream_positions():
 
     def run_single(pre, x):
         state = attn.init_state(1, cap)
-        _, state = attn(params, jnp.array(pre), state, jnp.zeros((1,), jnp.int32))
-        out, _ = attn(params, jnp.array(x), state, jnp.full((1,), pre.shape[1], jnp.int32))
+        n = pre.shape[1]
+        _, state = attn(
+            params, jnp.array(pre), state, jnp.arange(n, dtype=jnp.int32)[None, :]
+        )
+        out, _ = attn(
+            params, jnp.array(x), state,
+            (n + jnp.arange(x.shape[1], dtype=jnp.int32))[None, :],
+        )
         return _np(out)
 
     ref0, ref1 = run_single(pre0, x0), run_single(pre1, x1)
 
-    # Batched: right-pad the shorter prefill, per-stream positions
+    # Batched: right-pad the shorter prefill; padded entries get position -1
+    # and land in slots that are never valid.
     state = attn.init_state(2, cap)
     pre = np.zeros((2, 7, 32), dtype=np.float32)
     pre[0, :4] = pre0[0]
     pre[1] = pre1[0]
-    _, state = attn(params, jnp.array(pre), state, jnp.zeros((2,), jnp.int32))
-    # Stream 0 only advanced 4 positions; garbage slots 4..7 will be
-    # overwritten by this next write starting at pos=4.
+    prefill_pos = np.stack(
+        [np.array([0, 1, 2, 3, -1, -1, -1]), np.arange(7)]
+    ).astype(np.int32)
+    _, state = attn(params, jnp.array(pre), state, jnp.array(prefill_pos))
+    q_pos = np.stack([4 + np.arange(3), 7 + np.arange(3)]).astype(np.int32)
     out, _ = attn(
         params,
         jnp.array(np.concatenate([x0, x1], axis=0)),
         state,
-        jnp.array([4, 7], jnp.int32),
+        jnp.array(q_pos),
     )
     np.testing.assert_allclose(_np(out)[0:1], ref0, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(_np(out)[1:2], ref1, rtol=1e-4, atol=1e-5)
@@ -115,8 +125,9 @@ def test_windowed_ring_streaming_equals_full_with_wraparound():
     state = attn.init_state(B, capacity=cap)
     outs = []
     for i in range(0, T, chunk):
+        pos = i + jnp.arange(chunk, dtype=jnp.int32)[None, :]
         y, state = attn(
-            params, jnp.array(x[:, i : i + chunk]), state, jnp.full((B,), i, jnp.int32)
+            params, jnp.array(x[:, i : i + chunk]), state, jnp.broadcast_to(pos, (B, chunk))
         )
         outs.append(_np(y))
     streamed = np.concatenate(outs, axis=1)

@@ -1,0 +1,109 @@
+"""Continuous-batching engine tests (tiny config, CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tiny_config import tiny_config
+from pocket_tts_tpu.models.flow_lm import FlowLMModel
+from pocket_tts_tpu.models.mimi import MimiModel
+from pocket_tts_tpu.models.text import FallbackWordTokenizer, estimate_max_gen_len
+from pocket_tts_tpu.models.tts_model import TTSModel
+from pocket_tts_tpu.serving.engine import TTSEngine
+
+RNG = np.random.default_rng(17)
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = tiny_config()
+    flow_lm = FlowLMModel(config=cfg.flow_lm, latent_dim=cfg.mimi.quantizer.dimension)
+    mimi = MimiModel(config=cfg.mimi)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    params = {"flow_lm": flow_lm.init_params(k1), "mimi": mimi.init_params(k2)}
+    return TTSModel(
+        flow_lm=flow_lm,
+        mimi=mimi,
+        params=params,
+        tokenizer=FallbackWordTokenizer(4000),
+        temp=0.7,
+        lsd_decode_steps=1,
+        noise_clamp=None,
+        eos_threshold=1e9,  # EOS disabled -> deterministic lengths
+        config=cfg,
+        seed=0,
+    )
+
+
+@pytest.fixture(scope="module")
+def voice(model):
+    prompt = jnp.array(RNG.standard_normal((1, 10, model.flow_lm.dim)).astype(np.float32))
+    return model._state_from_prompt(prompt)
+
+
+def _expected_frames(model, text):
+    tokens = model.tokenizer.encode(text)
+    return estimate_max_gen_len(len(tokens), model.config.mimi.frame_rate)
+
+
+def test_engine_completes_more_requests_than_slots(model, voice):
+    engine = TTSEngine(model, slots=2, segment_frames=4, capacity=512, text_pad=32)
+    texts = [
+        "One two three four five.",
+        "Six seven eight nine ten eleven.",
+        "Twelve thirteen fourteen.",
+    ]
+    handles = [engine.submit(t, voice) for t in texts]
+    engine.run(stop_when_idle=True)
+    for text, handle in zip(texts, handles):
+        audio = handle.audio()
+        assert handle.done
+        # EOS disabled: exactly max_gen frames per request
+        assert audio.shape[0] == _expected_frames(model, text) * 1920
+        assert np.isfinite(audio).all()
+
+
+def test_engine_mid_flight_admission(model, voice):
+    engine = TTSEngine(model, slots=2, segment_frames=2, capacity=512, text_pad=32)
+    h1 = engine.submit("Alpha beta gamma delta epsilon zeta eta.", voice)
+    # run a few ticks, then admit another stream mid-flight
+    for _ in range(3):
+        engine.step()
+    h2 = engine.submit("Iota kappa lambda.", voice)
+    engine.run(stop_when_idle=True)
+    a1, a2 = h1.audio(), h2.audio()
+    assert a1.shape[0] == _expected_frames(model, "Alpha beta gamma delta epsilon zeta eta.") * 1920
+    assert a2.shape[0] == _expected_frames(model, "Iota kappa lambda.") * 1920
+
+
+def test_engine_compaction(model, voice):
+    """Tiny capacity forces compaction; streams must still complete."""
+    engine = TTSEngine(model, slots=1, segment_frames=4, capacity=256, text_pad=32)
+    texts = ["Aa bb cc dd ee.", "Ff gg hh ii jj.", "Kk ll mm nn oo."]
+    handles = [engine.submit(t, voice) for t in texts]
+    engine.run(stop_when_idle=True)
+    for text, handle in zip(texts, handles):
+        audio = handle.audio()
+        assert audio.shape[0] == _expected_frames(model, text) * 1920
+        assert np.isfinite(audio).all()
+
+
+def test_engine_matches_generate_audio_at_temp_zero(model, voice):
+    """With temp=0 the decode is noise-free, so the engine's output must
+    exactly match the direct generate path (catches KV admission bugs)."""
+    old_temp = model.temp
+    model.temp = 0.0
+    try:
+        text = "Exact parity check sentence with several words."
+        direct = model.generate_audio(voice, text, frames_after_eos=2, warmup_frames=1)
+
+        engine = TTSEngine(model, slots=2, segment_frames=4, capacity=512, text_pad=32)
+        handle = engine.submit(text, voice, frames_after_eos=2)
+        engine.run(stop_when_idle=True)
+        served = handle.audio()
+
+        assert served.shape == direct.shape
+        np.testing.assert_allclose(served, direct, rtol=1e-4, atol=1e-6)
+    finally:
+        model.temp = old_temp
