@@ -44,6 +44,10 @@ class FlowLMModel:
 
     config: FlowLMConfig
     latent_dim: int
+    # Width of the Mimi encoder output consumed by the speaker projection
+    # (512 for the shipped checkpoint; reference hard-codes the shape at
+    # pocket_tts_mlx/models/tts_model.py:103).
+    speaker_dim: int = 512
 
     @property
     def dim(self) -> int:
@@ -111,7 +115,7 @@ class FlowLMModel:
             "bos_emb": jax.random.normal(keys[5], (ldim,), dtype=dtype),
             "emb_std": jnp.ones((ldim,), dtype=dtype),
             "emb_mean": jnp.zeros((ldim,), dtype=dtype),
-            "speaker_proj_weight": jnp.zeros((dim, 512), dtype=dtype),
+            "speaker_proj_weight": jnp.zeros((dim, self.speaker_dim), dtype=dtype),
         }
 
     def init_state(self, batch_size: int, capacity: int, dtype=jnp.float32) -> State:

@@ -207,7 +207,11 @@ class TTSModel:
         else:
             cfg = load_config(builtin_config_path(str(config)))
 
-        flow_lm = FlowLMModel(config=cfg.flow_lm, latent_dim=cfg.mimi.quantizer.dimension)
+        flow_lm = FlowLMModel(
+            config=cfg.flow_lm,
+            latent_dim=cfg.mimi.quantizer.dimension,
+            speaker_dim=cfg.mimi.seanet.dimension,
+        )
         mimi = MimiModel(config=cfg.mimi)
 
         dtype = jnp.dtype(param_dtype)
