@@ -167,15 +167,21 @@ class MimiModel:
             params["upsample"] = {"convtr": {"convtr": self.upsample.init_params(keys[5], dtype)}}
         return params
 
-    def init_decode_state(self, batch_size: int, dtype=jnp.float32) -> State:
-        """Streaming state for the frame-by-frame decode path."""
+    def init_decode_state(self, batch_size: int, kv_dtype=jnp.float32) -> State:
+        """Streaming state for the frame-by-frame decode path.
+
+        kv_dtype applies to the codec transformer's ring KV cache only; conv
+        overlap buffers stay float32 — they add directly into the waveform.
+        """
         state: State = {
-            "decoder_transformer": self.decoder_transformer.init_state(batch_size, dtype=dtype),
-            "decoder": self.decoder.init_state(batch_size, dtype),
+            "decoder_transformer": self.decoder_transformer.init_state(
+                batch_size, dtype=kv_dtype
+            ),
+            "decoder": self.decoder.init_state(batch_size, jnp.float32),
             "pos": jnp.zeros((batch_size,), dtype=jnp.int32),  # 200 Hz step count
         }
         if self.has_resample:
-            state["upsample"] = self.upsample.init_state(batch_size, dtype)
+            state["upsample"] = self.upsample.init_state(batch_size, jnp.float32)
         return state
 
     # ------------------------------------------------------------------ apply

@@ -56,7 +56,7 @@ from pocket_tts_tpu.models.text import (
     prepare_text_prompt,
     split_into_best_sentences,
 )
-from pocket_tts_tpu.models.weights import load_state_dict
+from pocket_tts_tpu.models.weights import cast_serving_dtype, load_state_dict
 from pocket_tts_tpu.utils.assets import download_if_necessary
 from pocket_tts_tpu.utils.safetensors import load_safetensors
 from pocket_tts_tpu.utils.timing import display_execution_time, size_of_pytree
@@ -165,6 +165,7 @@ class TTSModel:
         self.random_init = False  # set when no checkpoint was reachable
         self.matmul_precision = matmul_precision
         self._rng = jax.random.PRNGKey(seed)
+        self.state_dtype = jnp.float32  # KV caches / ring buffers
         self._jit_cache: Dict = {}
         self._voice_state_cache: Dict = {}
 
@@ -214,12 +215,14 @@ class TTSModel:
         )
         mimi = MimiModel(config=cfg.mimi)
 
-        dtype = jnp.dtype(param_dtype)
+        serving_dtype = jnp.dtype(param_dtype)
         key = jax.random.PRNGKey(seed)
         k_flow, k_mimi = jax.random.split(key)
+        # Always materialize/load in float32; serving dtypes are applied as a
+        # final cast with float32 islands (see weights.cast_serving_dtype).
         params = {
-            "flow_lm": flow_lm.init_params(k_flow, dtype),
-            "mimi": mimi.init_params(k_mimi, dtype),
+            "flow_lm": flow_lm.init_params(k_flow, jnp.float32),
+            "mimi": mimi.init_params(k_mimi, jnp.float32),
         }
 
         tokenizer = make_tokenizer(
@@ -239,9 +242,13 @@ class TTSModel:
             seed=seed,
             matmul_precision=matmul_precision,
         )
-        model._load_weights(cfg, dtype, allow_random_init)
+        model._load_weights(cfg, jnp.float32, allow_random_init)
+        if serving_dtype != jnp.float32:
+            model.params = cast_serving_dtype(model.params, serving_dtype)
+            model.state_dtype = serving_dtype
         logger.info(
-            "TTS Model loaded successfully. Size ~%d MB", size_of_pytree(params) // 1_000_000
+            "TTS Model loaded successfully. Size ~%d MB",
+            size_of_pytree(model.params) // 1_000_000,
         )
         return model
 
@@ -425,7 +432,7 @@ class TTSModel:
         """Prefill a fresh KV cache with conditioning embeddings [B, T, dim]."""
         B, T, _ = prompt.shape
         capacity = _bucket(T)
-        state = self.flow_lm.init_state(B, capacity)
+        state = self.flow_lm.init_state(B, capacity, dtype=self.state_dtype)
         lengths = jnp.full((B,), T, dtype=jnp.int32)
         fns = self._prefill_jit(B, T, capacity)
         with display_execution_time("Prompting audio"):
@@ -576,7 +583,7 @@ class TTSModel:
             capacity = self.flow_lm.state_capacity(tree)
 
         # Mimi decoder state + warmup (reference: tts_model.py:464-476).
-        mimi_state = self.mimi.init_decode_state(B)
+        mimi_state = self.mimi.init_decode_state(B, kv_dtype=self.state_dtype)
         if warmup_frames > 0:
             frame_fn = self._mimi_frame_jit(B)
             zero_latent = jnp.zeros((B, self.flow_lm.ldim), dtype=jnp.float32)

@@ -18,6 +18,7 @@ from __future__ import annotations
 import logging
 from typing import Dict
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -97,6 +98,24 @@ def _convert(path: str, tensor: np.ndarray, target) -> np.ndarray | None:
         )
         return None
     return tensor
+
+
+def cast_serving_dtype(params: dict, dtype) -> dict:
+    """Cast matmul/conv weights (>=2-D) to a serving dtype, keeping float32
+    islands: the flow-matching head and the EOS/norm outputs, whose precision
+    feeds the ODE integration directly, plus all 1-D tensors (biases, norm
+    scales, emb_std/emb_mean, bos_emb)."""
+    islands = {"flow_net", "out_eos", "out_norm"}
+
+    def cast(path, leaf):
+        keys = {getattr(part, "key", None) for part in path}
+        if keys & islands:
+            return leaf
+        if hasattr(leaf, "ndim") and leaf.ndim >= 2 and leaf.dtype == jnp.float32:
+            return leaf.astype(dtype)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(cast, params)
 
 
 def load_state_dict(

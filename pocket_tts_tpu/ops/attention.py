@@ -52,14 +52,20 @@ def _split_qkv(projected: jnp.ndarray, num_heads: int) -> tuple[jnp.ndarray, ...
 
 def _sdpa(
     q: jnp.ndarray,  # [B, H, Tq, d]
-    k: jnp.ndarray,  # [B, H, Tk, d]
+    k: jnp.ndarray,  # [B, H, Tk, d] (may be lower precision: bf16 KV cache)
     v: jnp.ndarray,  # [B, H, Tk, d]
     valid: jnp.ndarray,  # bool, broadcastable to [B, H, Tq, Tk]
 ) -> jnp.ndarray:
-    """Masked softmax(q k^T / sqrt(d)) v with float32 softmax."""
+    """Masked softmax(q k^T / sqrt(d)) v; float32 softmax and accumulation.
+
+    Matmuls run in the KV cache's dtype (q is cast down when the cache is
+    bf16), so serving-mode caches halve attention HBM traffic while scores
+    and the output still accumulate in float32.
+    """
+    out_dtype = q.dtype
     d = q.shape[-1]
     scores = lax.dot_general(
-        q,
+        q.astype(k.dtype),
         k,
         dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
         preferred_element_type=jnp.float32,
@@ -72,7 +78,7 @@ def _sdpa(
         dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
         preferred_element_type=jnp.float32,
     )
-    return out.astype(v.dtype)
+    return out.astype(out_dtype)
 
 
 def _init_proj_params(key: jax.Array, embed_dim: int, dtype) -> Params:
@@ -156,7 +162,7 @@ class CausalKVAttention:
             (slot_pos[:, None, :] >= 0)
             & (slot_pos[:, None, :] <= positions[:, :, None])
         )  # [B, T, cap]
-        out = _sdpa(q, k_cache.astype(q.dtype), v_cache.astype(q.dtype), valid[:, None])
+        out = _sdpa(q, k_cache, v_cache, valid[:, None])
 
         out = out.transpose(0, 2, 1, 3).reshape(B, T, self.embed_dim)
         new_state = {"k": k_cache, "v": v_cache, "slot_pos": slot_pos, "widx": widx + T}
@@ -243,7 +249,7 @@ class WindowedRingAttention:
 
         delta = positions[:, :, None] - slot_pos[:, None, :]  # [B, T, cap]
         valid = (slot_pos[:, None, :] >= 0) & (delta >= 0) & (delta < self.context)
-        out = _sdpa(q, k_cache.astype(q.dtype), v_cache.astype(q.dtype), valid[:, None])
+        out = _sdpa(q, k_cache, v_cache, valid[:, None])
 
         out = out.transpose(0, 2, 1, 3).reshape(B, T, self.embed_dim)
         return linear(out, params["out_proj"]["weight"]), {"k": k_cache, "v": v_cache}

@@ -41,16 +41,24 @@ def conv1d(
     dilation: int = 1,
     groups: int = 1,
 ) -> jnp.ndarray:
-    """VALID 1D convolution, torch-layout weight (out, in/groups, k)."""
+    """VALID 1D convolution, torch-layout weight (out, in/groups, k).
+
+    Mixed precision follows linear(): activations cast down to the weight
+    dtype, float32 accumulation, result in the activation dtype.
+    """
+    out_dtype = x.dtype
+    if weight.dtype != x.dtype:
+        x = x.astype(weight.dtype)
     y = lax.conv_general_dilated(
         x,
-        weight.astype(x.dtype),
+        weight,
         window_strides=(stride,),
         padding="VALID",
         rhs_dilation=(dilation,),
         dimension_numbers=("NCH", "OIH", "NCH"),
         feature_group_count=groups,
-    )
+        preferred_element_type=jnp.float32,
+    ).astype(out_dtype)
     if bias is not None:
         y = y + bias.astype(y.dtype)[None, :, None]
     return y
@@ -69,15 +77,19 @@ def conv_transpose1d(
     must come from convtr_weight_from_torch().
     """
     k = weight_oih_flipped.shape[-1]
+    out_dtype = x.dtype
+    if weight_oih_flipped.dtype != x.dtype:
+        x = x.astype(weight_oih_flipped.dtype)
     y = lax.conv_general_dilated(
         x,
-        weight_oih_flipped.astype(x.dtype),
+        weight_oih_flipped,
         window_strides=(1,),
         padding=[(k - 1, k - 1)],
         lhs_dilation=(stride,),
         dimension_numbers=("NCH", "OIH", "NCH"),
         feature_group_count=groups,
-    )
+        preferred_element_type=jnp.float32,
+    ).astype(out_dtype)
     if bias is not None:
         y = y + bias.astype(y.dtype)[None, :, None]
     return y

@@ -13,14 +13,24 @@ from jax import lax
 
 
 def linear(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray | None = None) -> jnp.ndarray:
-    """y = x @ W^T + b with W in torch layout [out, in]."""
+    """y = x @ W^T + b with W in torch layout [out, in].
+
+    Mixed precision: when the weight is lower precision (bf16 serving mode),
+    the activation is cast down to match — the MXU multiplies in bf16 and
+    accumulates in float32 — and the result is returned in the activation's
+    original dtype.
+    """
+    out_dtype = x.dtype
+    if weight.dtype != x.dtype:
+        x = x.astype(weight.dtype)
     y = lax.dot_general(
         x,
         weight,
         dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
-    )
+        preferred_element_type=jnp.float32,
+    ).astype(out_dtype)
     if bias is not None:
-        y = y + bias
+        y = y + bias.astype(out_dtype)
     return y
 
 

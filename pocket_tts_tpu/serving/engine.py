@@ -99,8 +99,8 @@ class TTSEngine:
 
         flow_lm, mimi = model.flow_lm, model.mimi
         B = slots
-        self.flow_state = flow_lm.init_state(B, capacity)
-        self.mimi_state = mimi.init_decode_state(B)
+        self.flow_state = flow_lm.init_state(B, capacity, dtype=model.state_dtype)
+        self.mimi_state = mimi.init_decode_state(B, kv_dtype=model.state_dtype)
         self.carry = {
             "latent": jnp.zeros((B, flow_lm.ldim), dtype=jnp.float32),
             "is_bos": jnp.ones((B,), dtype=jnp.bool_),
