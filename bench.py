@@ -44,6 +44,7 @@ def _build_model():
     model = TTSModel.load_model(
         eos_threshold=1e9,  # random weights: disable EOS so runs are full-length
         matmul_precision="default",
+        param_dtype="bfloat16",  # serving config: bf16 weights/KV, fp32 islands
     )
     return model
 
@@ -123,6 +124,7 @@ def main() -> None:
         "vs_baseline": round(single["rtf"] / 30.0, 3),
         "extra": {
             "platform": platform,
+            "param_dtype": "bfloat16",
             "ttfa_p50_ms": round(ttfa["p50_ms"], 1),
             "batch64_aggregate_rtf": round(batch["aggregate_rtf"], 1),
             "batch64_realtime_streams": round(batch["realtime_streams"], 1),
