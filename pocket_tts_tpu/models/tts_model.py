@@ -290,6 +290,21 @@ class TTSModel:
         if cfg.flow_lm.weights_path is None and cfg.weights_path is None:
             logger.warning("No weights_path specified, model is uninitialized!")
 
+    def save_checkpoint(self, path) -> int:
+        """Write current params as a torch-layout safetensors file that
+        load_model can consume via a local weights_path (and that the
+        reference implementations can read). Functional analogue of
+        reference convert_and_save_mlx_weights (weight_conversion.py:161-174)."""
+        from pocket_tts_tpu.models.weights import save_checkpoint
+
+        return save_checkpoint(self.params, path)
+
+    def profile(self, log_dir: str):
+        """Context manager: capture a jax profiler trace of everything run
+        inside (view with TensorBoard / xprof). TPU analogue of the
+        reference's wall-clock-only timing (utils/utils.py:28-46)."""
+        return jax.profiler.trace(log_dir)
+
     # ------------------------------------------------------------------ jits
 
     def _jit(self, key, builder):

@@ -149,3 +149,57 @@ def load_state_dict(
         parent[leaf] = jnp.asarray(converted, dtype=dtype if converted.dtype.kind == "f" else None)
         loaded += 1
     return loaded, skipped
+
+
+def convtr_weight_to_torch(w: np.ndarray, groups: int = 1) -> np.ndarray:
+    """Inverse of convtr_weight_from_torch: (out, in/g, k) flipped -> (in, out/g, k)."""
+    cout, cin_per_g, k = w.shape
+    w = np.ascontiguousarray(w[:, :, ::-1]).reshape(groups, cout // groups, cin_per_g, k)
+    return np.ascontiguousarray(np.transpose(w, (0, 2, 1, 3))).reshape(
+        groups * cin_per_g, cout // groups, k
+    )
+
+
+def flatten_params(params, prefix: str = "") -> Dict[str, np.ndarray]:
+    """Pytree -> flat {dotted_name: np.ndarray} in our storage layout."""
+    flat: Dict[str, np.ndarray] = {}
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            for key, value in node.items():
+                walk(value, f"{path}.{key}" if path else key)
+        elif isinstance(node, (list, tuple)):
+            for idx, value in enumerate(node):
+                walk(value, f"{path}.{idx}")
+        elif node is not None:
+            flat[path] = np.asarray(node)
+
+    walk(params, prefix)
+    return flat
+
+
+def save_checkpoint(params: dict, path, convtr_groups_lookup=None) -> int:
+    """Write a params pytree as a torch-layout safetensors checkpoint.
+
+    ConvTranspose weights (paths containing 'convtr') are converted back to
+    torch layout so the file round-trips through load_state_dict and is also
+    loadable by the reference implementations. Low-precision leaves are
+    widened to float32. Returns the tensor count.
+    """
+    from pocket_tts_tpu.utils.safetensors import save_safetensors
+
+    flat = flatten_params(params)
+    out: Dict[str, np.ndarray] = {}
+    for key, tensor in flat.items():
+        if str(tensor.dtype) == "bfloat16":  # ml_dtypes bf16 -> widen for the file
+            tensor = tensor.astype(np.float32)
+        if (".convtr." in key or key.endswith("convtr.weight")) and key.endswith("weight") and tensor.ndim == 3:
+            cout, cin_per_g, k = tensor.shape
+            # groups recoverable from shape for depthwise (cin_per_g == 1),
+            # else dense (groups=1) — the only two cases in this model family.
+            groups = cout if cin_per_g == 1 else 1
+            tensor = convtr_weight_to_torch(tensor, groups=groups)
+        out[key] = tensor
+    save_safetensors(path, out)
+    logger.info("Saved %d tensors to %s", len(out), path)
+    return len(out)

@@ -125,3 +125,29 @@ def test_mimi_prefix_strip(models):
     np.testing.assert_array_equal(
         np.asarray(params["mimi"]["quantizer"]["output_proj"]["weight"]), new
     )
+
+
+def test_save_checkpoint_roundtrip(models, tmp_path):
+    """save_checkpoint -> load_state_dict must reproduce every tensor,
+    including the convtr layout double conversion."""
+    import jax.numpy as jnp
+
+    flow_lm, mimi, params = models
+    from pocket_tts_tpu.models.weights import save_checkpoint
+
+    path = tmp_path / "ckpt.safetensors"
+    n = save_checkpoint(params, path)
+    assert n > 50
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(99))
+    fresh = {"flow_lm": flow_lm.init_params(k1), "mimi": mimi.init_params(k2)}
+    flat = load_safetensors(path)
+    loaded, skipped = load_state_dict(fresh, flat)
+    assert skipped == 0 and loaded == n
+
+    for key in ("flow_lm", "mimi"):
+        ours = jax.tree_util.tree_leaves(params[key])
+        theirs = jax.tree_util.tree_leaves(fresh[key])
+        assert len(ours) == len(theirs)
+        for a, b in zip(ours, theirs):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
