@@ -25,10 +25,10 @@ per-frame Python loop with a device sync every frame, tts_model.py:402-428):
 from __future__ import annotations
 
 import logging
-import math
+
 import time
 from pathlib import Path
-from typing import Dict, Generator, Iterable, Optional, Sequence, Union
+from typing import Dict, Generator, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp

@@ -26,6 +26,7 @@ float32 via preferred_element_type.
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 
 import jax
@@ -33,7 +34,14 @@ import jax.numpy as jnp
 from jax import lax
 
 from pocket_tts_tpu.ops.linear import linear
-from pocket_tts_tpu.ops.rope import apply_rope
+from pocket_tts_tpu.ops.rope import apply_rope, rope_angles
+
+
+def flash_decode_enabled() -> bool:
+    """Route T=1 decode attention through the fused Pallas kernel
+    (ops/flash_decode.py). Read at trace time; default off (the XLA path is
+    the correctness oracle and works on every backend)."""
+    return os.environ.get("POCKET_TTS_FLASH_DECODE", "0") not in ("0", "", "false")
 
 Params = dict
 State = dict
@@ -139,13 +147,16 @@ class CausalKVAttention:
         x: jnp.ndarray,  # [B, T, E]
         state: State,
         positions: jnp.ndarray,  # int32 [B, T]: absolute positions, -1 = padding
+        rope_cache: tuple | None = None,
     ) -> tuple[jnp.ndarray, State]:
         B, T, _ = x.shape
 
         projected = linear(x, params["in_proj"]["weight"])
         q, k, v = _split_qkv(projected, self.num_heads)
 
-        q, k = apply_rope(q, k, jnp.maximum(positions, 0), self.max_period)
+        q, k = apply_rope(
+            q, k, jnp.maximum(positions, 0), self.max_period, rope_cache=rope_cache
+        )
 
         q = q.transpose(0, 2, 1, 3)  # [B, H, T, d]
         k = k.transpose(0, 2, 1, 3)
@@ -156,13 +167,20 @@ class CausalKVAttention:
         v_cache = lax.dynamic_update_slice(state["v"], v.astype(state["v"].dtype), (0, 0, widx, 0))
         slot_pos = lax.dynamic_update_slice(state["slot_pos"], positions, (0, widx))
 
-        # Query at absolute position p attends to slots holding positions
-        # [0, p]; invalid slots (-1) and padded queries are masked out.
-        valid = (
-            (slot_pos[:, None, :] >= 0)
-            & (slot_pos[:, None, :] <= positions[:, :, None])
-        )  # [B, T, cap]
-        out = _sdpa(q, k_cache, v_cache, valid[:, None])
+        if T == 1 and flash_decode_enabled():
+            from pocket_tts_tpu.ops.flash_decode import flash_decode_attention
+
+            out = flash_decode_attention(
+                q[:, :, 0, :], k_cache, v_cache, slot_pos, positions[:, 0]
+            )[:, :, None, :]
+        else:
+            # Query at absolute position p attends to slots holding positions
+            # [0, p]; invalid slots (-1) and padded queries are masked out.
+            valid = (
+                (slot_pos[:, None, :] >= 0)
+                & (slot_pos[:, None, :] <= positions[:, :, None])
+            )  # [B, T, cap]
+            out = _sdpa(q, k_cache, v_cache, valid[:, None])
 
         out = out.transpose(0, 2, 1, 3).reshape(B, T, self.embed_dim)
         new_state = {"k": k_cache, "v": v_cache, "slot_pos": slot_pos, "widx": widx + T}
@@ -222,6 +240,7 @@ class WindowedRingAttention:
         x: jnp.ndarray,  # [B, T, E]
         state: State,
         positions: jnp.ndarray,  # int32 [B, T]: absolute positions of x
+        rope_cache: tuple | None = None,
     ) -> tuple[jnp.ndarray, State]:
         B, T, _ = x.shape
         capacity = state["k"].shape[2]
@@ -231,7 +250,7 @@ class WindowedRingAttention:
         projected = linear(x, params["in_proj"]["weight"])
         q, k, v = _split_qkv(projected, self.num_heads)
 
-        q, k = apply_rope(q, k, positions, self.max_period)
+        q, k = apply_rope(q, k, positions, self.max_period, rope_cache=rope_cache)
 
         q = q.transpose(0, 2, 1, 3)
         k = k.transpose(0, 2, 1, 3)

@@ -11,7 +11,7 @@ residuals into the matmul epilogues.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
@@ -107,10 +107,17 @@ class StreamingTransformerLayer:
         return x + self._scaled(params, "layer_scale_2", h)
 
     def __call__(
-        self, params: Params, x: jnp.ndarray, state: State, positions: jnp.ndarray
+        self,
+        params: Params,
+        x: jnp.ndarray,
+        state: State,
+        positions: jnp.ndarray,
+        rope_cache: tuple | None = None,
     ) -> tuple[jnp.ndarray, State]:
         h = layer_norm(x, params["norm1"]["weight"], params["norm1"]["bias"], eps=1e-5)
-        update, new_state = self.self_attn(params["self_attn"], h, state, positions)
+        update, new_state = self.self_attn(
+            params["self_attn"], h, state, positions, rope_cache=rope_cache
+        )
         x = x + self._scaled(params, "layer_scale_1", update)
         return self._ff(params, x), new_state
 
@@ -162,9 +169,15 @@ class StreamingTransformer:
     def __call__(
         self, params: Params, x: jnp.ndarray, state: State, positions: jnp.ndarray
     ) -> tuple[jnp.ndarray, State]:
+        from pocket_tts_tpu.ops.rope import rope_angles
+
+        # RoPE angles depend only on positions — compute once, share per layer.
+        rope_cache = rope_angles(
+            jnp.maximum(positions, 0), self.d_model // self.num_heads, self.max_period
+        )
         new_layer_states = []
         for layer, l_params, l_state in zip(self.layers, params["layers"], state["layers"]):
-            x, l_state = layer(l_params, x, l_state, positions)
+            x, l_state = layer(l_params, x, l_state, positions, rope_cache=rope_cache)
             new_layer_states.append(l_state)
         return x, {"layers": new_layer_states}
 
