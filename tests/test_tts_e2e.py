@@ -122,3 +122,27 @@ def test_multi_chunk_long_text(model, voice):
     audio = model.generate_audio(voice, text, max_tokens=8, frames_after_eos=2)
     assert audio.shape[0] % 1920 == 0
     assert audio.shape[0] >= 4 * 1920
+
+
+def test_batch_different_voices(model):
+    """Config #4 analog: one batch, different voices with different prompt
+    lengths, each row must equal its single-stream run (temp=0)."""
+    old_temp = model.temp
+    model.temp = 0.0
+    try:
+        prompts = [
+            jnp.array(RNG.standard_normal((1, n, model.flow_lm.dim)).astype(np.float32))
+            for n in (8, 19, 33)
+        ]
+        voices = [model._state_from_prompt(p) for p in prompts]
+        text = "Same words spoken by three voices."
+
+        singles = [model.generate_audio(v, text, frames_after_eos=2) for v in voices]
+        batch = model.generate_audio_batch(
+            stack_states(model.flow_lm, voices), [text] * 3, frames_after_eos=2
+        )
+        for got, want in zip(batch, singles):
+            assert got.shape == want.shape
+            np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+    finally:
+        model.temp = old_temp
