@@ -84,9 +84,15 @@ class StreamingWAVWriter:
         self.wave_writer.setnframes(1_000_000_000)
 
     def write_pcm_data(self, audio_chunk: Any) -> None:
-        """Append a float chunk as int16 PCM, honoring first-chunk buffering."""
+        """Append a chunk as int16 PCM, honoring first-chunk buffering.
+
+        Accepts float arrays in [-1, 1] or pre-converted int16 PCM (e.g. from
+        the engine's on-device conversion)."""
         chunk = np.asarray(audio_chunk).reshape(-1)
-        chunk_bytes = (np.clip(chunk, -1, 1) * 32767).astype(np.int16).tobytes()
+        if chunk.dtype == np.int16:
+            chunk_bytes = chunk.tobytes()
+        else:
+            chunk_bytes = (np.clip(chunk, -1, 1) * 32767).astype(np.int16).tobytes()
 
         if self.first_chunk_buffer is not None:
             self.first_chunk_buffer.append(chunk_bytes)

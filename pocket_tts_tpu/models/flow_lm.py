@@ -216,18 +216,18 @@ class FlowLMModel:
                 "k": jnp.pad(layer["k"], ((0, 0), (0, 0), (0, pad), (0, 0))),
                 "v": jnp.pad(layer["v"], ((0, 0), (0, 0), (0, pad), (0, 0))),
                 "slot_pos": jnp.pad(layer["slot_pos"], ((0, 0), (0, pad)), constant_values=-1),
-                "widx": layer["widx"],
             }
 
         layers = [grow_layer(l) for l in state["transformer"]["layers"]]
-        return {"transformer": {"layers": layers}, "pos": state["pos"]}
+        transformer = {"layers": layers, "widx": state["transformer"]["widx"]}
+        return {"transformer": transformer, "pos": state["pos"]}
 
     def state_capacity(self, state: State) -> int:
         return state["transformer"]["layers"][0]["k"].shape[2]
 
     def state_written(self, state: State) -> "jnp.ndarray":
         """Device-side write index (slots consumed so far)."""
-        return state["transformer"]["layers"][0]["widx"]
+        return state["transformer"]["widx"]
 
     def invalidate_after(self, state: State, pos_target: jnp.ndarray) -> State:
         """Mark cache slots at positions >= pos_target[b] invalid — used to
@@ -237,4 +237,5 @@ class FlowLMModel:
             return {**layer, "slot_pos": slot_pos}
 
         layers = [fix(l) for l in state["transformer"]["layers"]]
-        return {"transformer": {"layers": layers}, "pos": jnp.asarray(pos_target, jnp.int32)}
+        transformer = {"layers": layers, "widx": state["transformer"]["widx"]}
+        return {"transformer": transformer, "pos": jnp.asarray(pos_target, jnp.int32)}

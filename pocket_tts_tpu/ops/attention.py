@@ -138,7 +138,6 @@ class CausalKVAttention:
             "k": jnp.zeros(shape, dtype=dtype),
             "v": jnp.zeros(shape, dtype=dtype),
             "slot_pos": jnp.full((batch_size, capacity), -1, dtype=jnp.int32),
-            "widx": jnp.zeros((), dtype=jnp.int32),
         }
 
     def __call__(
@@ -147,6 +146,7 @@ class CausalKVAttention:
         x: jnp.ndarray,  # [B, T, E]
         state: State,
         positions: jnp.ndarray,  # int32 [B, T]: absolute positions, -1 = padding
+        widx: jnp.ndarray = None,  # scalar int32 write index (stack-level state)
         rope_cache: tuple | None = None,
     ) -> tuple[jnp.ndarray, State]:
         B, T, _ = x.shape
@@ -162,7 +162,6 @@ class CausalKVAttention:
         k = k.transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)
 
-        widx = state["widx"]
         k_cache = lax.dynamic_update_slice(state["k"], k.astype(state["k"].dtype), (0, 0, widx, 0))
         v_cache = lax.dynamic_update_slice(state["v"], v.astype(state["v"].dtype), (0, 0, widx, 0))
         slot_pos = lax.dynamic_update_slice(state["slot_pos"], positions, (0, widx))
@@ -183,7 +182,7 @@ class CausalKVAttention:
             out = _sdpa(q, k_cache, v_cache, valid[:, None])
 
         out = out.transpose(0, 2, 1, 3).reshape(B, T, self.embed_dim)
-        new_state = {"k": k_cache, "v": v_cache, "slot_pos": slot_pos, "widx": widx + T}
+        new_state = {"k": k_cache, "v": v_cache, "slot_pos": slot_pos}
         return linear(out, params["out_proj"]["weight"]), new_state
 
     def forward(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:

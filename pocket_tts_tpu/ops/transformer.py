@@ -113,11 +113,17 @@ class StreamingTransformerLayer:
         state: State,
         positions: jnp.ndarray,
         rope_cache: tuple | None = None,
+        widx: jnp.ndarray | None = None,
     ) -> tuple[jnp.ndarray, State]:
         h = layer_norm(x, params["norm1"]["weight"], params["norm1"]["bias"], eps=1e-5)
-        update, new_state = self.self_attn(
-            params["self_attn"], h, state, positions, rope_cache=rope_cache
-        )
+        if self.attention_kind == "flow_lm":
+            update, new_state = self.self_attn(
+                params["self_attn"], h, state, positions, widx, rope_cache=rope_cache
+            )
+        else:
+            update, new_state = self.self_attn(
+                params["self_attn"], h, state, positions, rope_cache=rope_cache
+            )
         x = x + self._scaled(params, "layer_scale_1", update)
         return self._ff(params, x), new_state
 
@@ -162,9 +168,13 @@ class StreamingTransformer:
         return {"layers": [l.init_params(k, dtype) for l, k in zip(self.layers, keys)]}
 
     def init_state(self, batch_size: int, capacity: int, dtype=jnp.float32) -> State:
-        return {
+        state: State = {
             "layers": [l.init_state(batch_size, capacity, dtype) for l in self.layers],
         }
+        if self.kind == "flow_lm":
+            # One write index for the whole stack (all layers append in lockstep).
+            state["widx"] = jnp.zeros((), dtype=jnp.int32)
+        return state
 
     def __call__(
         self, params: Params, x: jnp.ndarray, state: State, positions: jnp.ndarray
@@ -175,11 +185,15 @@ class StreamingTransformer:
         rope_cache = rope_angles(
             jnp.maximum(positions, 0), self.d_model // self.num_heads, self.max_period
         )
+        widx = state.get("widx")
         new_layer_states = []
         for layer, l_params, l_state in zip(self.layers, params["layers"], state["layers"]):
-            x, l_state = layer(l_params, x, l_state, positions, rope_cache=rope_cache)
+            x, l_state = layer(l_params, x, l_state, positions, rope_cache=rope_cache, widx=widx)
             new_layer_states.append(l_state)
-        return x, {"layers": new_layer_states}
+        new_state: State = {"layers": new_layer_states}
+        if widx is not None:
+            new_state["widx"] = widx + x.shape[1]
+        return x, new_state
 
     def forward(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
         for layer, l_params in zip(self.layers, params["layers"]):

@@ -89,6 +89,7 @@ class TTSEngine:
         capacity: int = 4096,
         text_pad: int = 64,
         warmup_frames: int = 1,
+        emit_pcm16: bool = False,
     ):
         self.model = model
         self.num_slots = slots
@@ -96,6 +97,7 @@ class TTSEngine:
         self.capacity = capacity
         self.text_pad = text_pad
         self.warmup_frames = warmup_frames
+        self.emit_pcm16 = emit_pcm16
 
         flow_lm, mimi = model.flow_lm, model.mimi
         B = slots
@@ -126,7 +128,15 @@ class TTSEngine:
             ),
             donate_argnums=(1, 2, 3),
         )
+        # No donation on prefill: state leaves may alias (e.g. the
+        # batch-common widx scalar is shared across layers after admission),
+        # and XLA rejects donating one buffer twice.
         self._prefill = jax.jit(self._prefill_fn)
+        # Optional on-device float32 -> int16 conversion halves the
+        # device->host audio bytes per tick (the server writes PCM16 anyway).
+        self._to_pcm16 = jax.jit(
+            lambda a: (jnp.clip(a, -1.0, 1.0) * 32767.0).astype(jnp.int16)
+        )
         self._rng = jax.random.PRNGKey(1234)
 
     # ------------------------------------------------------------ jit bodies
@@ -184,13 +194,10 @@ class TTSEngine:
         # otherwise the next prefill would overwrite the voice KV rows.
         if voice_state.written > self._written:
             self._written = voice_state.written
-            widx = jnp.asarray(self._written, jnp.int32)
             self.flow_state = {
                 "transformer": {
-                    "layers": [
-                        {**layer, "widx": widx}
-                        for layer in self.flow_state["transformer"]["layers"]
-                    ]
+                    "layers": self.flow_state["transformer"]["layers"],
+                    "widx": jnp.asarray(self._written, jnp.int32),
                 },
                 "pos": self.flow_state["pos"],
             }
@@ -267,12 +274,11 @@ class TTSEngine:
                 "k": g(layer["k"]),
                 "v": g(layer["v"]),
                 "slot_pos": gathered_pos,
-                "widx": jnp.asarray(max_valid, jnp.int32),
             }
 
         layers = [compact_layer(l) for l in self.flow_state["transformer"]["layers"]]
         self.flow_state = {
-            "transformer": {"layers": layers},
+            "transformer": {"layers": layers, "widx": jnp.asarray(max_valid, jnp.int32)},
             "pos": self.flow_state["pos"],
         }
         self._written = max_valid
@@ -324,6 +330,8 @@ class TTSEngine:
             if self._slots[b].active:
                 self._pos[b] += self.segment_frames
 
+        if self.emit_pcm16:
+            audio = self._to_pcm16(audio)
         audio_np, emit_np, eos_step, step, fae_np, max_gen_np = jax.device_get(
             (
                 audio,

@@ -98,7 +98,9 @@ def main() -> int:
     logging.basicConfig(level=logging.INFO, format="%(message)s")
     logger.info("loading model...")
     model = TTSModel.load_model()
-    engine = TTSEngine(model, slots=args.slots, segment_frames=args.segment_frames)
+    engine = TTSEngine(
+        model, slots=args.slots, segment_frames=args.segment_frames, emit_pcm16=True
+    )
     engine.serve_forever_in_thread()
 
     server = ThreadingHTTPServer((args.host, args.port), make_handler(model, engine))

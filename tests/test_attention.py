@@ -22,7 +22,7 @@ def test_causal_prefill_matches_torch_full_attention():
 
     state = attn.init_state(B, capacity=32)
     positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :], (B, T))
-    out, _ = attn(params, jnp.array(x), state, positions)
+    out, _ = attn(params, jnp.array(x), state, positions, jnp.int32(0))
 
     ref = tm.causal_attention(
         x, _np(params["in_proj"]["weight"]), _np(params["out_proj"]["weight"]), num_heads=4
@@ -41,13 +41,13 @@ def test_causal_streaming_stepwise_equals_full():
         return jnp.broadcast_to(jnp.arange(start, start + n, dtype=jnp.int32)[None, :], (B, n))
 
     state = attn.init_state(B, capacity=16)
-    full, _ = attn(params, jnp.array(x), state, positions(0, T))
+    full, _ = attn(params, jnp.array(x), state, positions(0, T), jnp.int32(0))
 
     state = attn.init_state(B, capacity=16)
-    out5, state = attn(params, jnp.array(x[:, :5]), state, positions(0, 5))
+    out5, state = attn(params, jnp.array(x[:, :5]), state, positions(0, 5), jnp.int32(0))
     outs = [_np(out5)]
     for t in range(5, T):
-        y, state = attn(params, jnp.array(x[:, t : t + 1]), state, positions(t, 1))
+        y, state = attn(params, jnp.array(x[:, t : t + 1]), state, positions(t, 1), jnp.int32(t))
         outs.append(_np(y))
     streamed = np.concatenate(outs, axis=1)
     np.testing.assert_allclose(streamed, _np(full), rtol=1e-4, atol=1e-5)
@@ -67,11 +67,13 @@ def test_causal_per_stream_positions():
         state = attn.init_state(1, cap)
         n = pre.shape[1]
         _, state = attn(
-            params, jnp.array(pre), state, jnp.arange(n, dtype=jnp.int32)[None, :]
+            params, jnp.array(pre), state, jnp.arange(n, dtype=jnp.int32)[None, :],
+            jnp.int32(0),
         )
         out, _ = attn(
             params, jnp.array(x), state,
             (n + jnp.arange(x.shape[1], dtype=jnp.int32))[None, :],
+            jnp.int32(n),
         )
         return _np(out)
 
@@ -86,13 +88,14 @@ def test_causal_per_stream_positions():
     prefill_pos = np.stack(
         [np.array([0, 1, 2, 3, -1, -1, -1]), np.arange(7)]
     ).astype(np.int32)
-    _, state = attn(params, jnp.array(pre), state, jnp.array(prefill_pos))
+    _, state = attn(params, jnp.array(pre), state, jnp.array(prefill_pos), jnp.int32(0))
     q_pos = np.stack([4 + np.arange(3), 7 + np.arange(3)]).astype(np.int32)
     out, _ = attn(
         params,
         jnp.array(np.concatenate([x0, x1], axis=0)),
         state,
         jnp.array(q_pos),
+        jnp.int32(7),
     )
     np.testing.assert_allclose(_np(out)[0:1], ref0, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(_np(out)[1:2], ref1, rtol=1e-4, atol=1e-5)

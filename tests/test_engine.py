@@ -107,3 +107,13 @@ def test_engine_matches_generate_audio_at_temp_zero(model, voice):
         np.testing.assert_allclose(served, direct, rtol=1e-4, atol=1e-6)
     finally:
         model.temp = old_temp
+
+
+def test_engine_pcm16_emission(model, voice):
+    engine = TTSEngine(model, slots=1, segment_frames=4, capacity=512, text_pad=32,
+                       emit_pcm16=True)
+    handle = engine.submit("Pcm sixteen emission test words.", voice, frames_after_eos=2)
+    engine.run(stop_when_idle=True)
+    audio = handle.audio()
+    assert audio.dtype == np.int16
+    assert audio.shape[0] % 1920 == 0 and audio.shape[0] > 0
