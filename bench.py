@@ -84,25 +84,29 @@ def bench_ttfa(model, voice, runs: int = 5) -> dict:
 
 
 def bench_batch(model, voice, batch: int) -> dict:
-    from pocket_tts_tpu.models.tts_model import stack_states
+    """Streaming-server mode (BASELINE config #5): the continuous-batching
+    engine with `batch` slots, on-device PCM16 emission."""
+    from pocket_tts_tpu.serving.engine import TTSEngine
 
-    stacked = stack_states(model.flow_lm, [voice] * batch)
-    texts = [TEXT] * batch
-    # Warmup/compile.
-    _ = model.generate_audio_batch(stacked, texts, frames_after_eos=2)
+    def run():
+        engine = TTSEngine(
+            model, slots=batch, segment_frames=8, capacity=1024, text_pad=64,
+            emit_pcm16=True, warmup_frames=1,
+        )
+        handles = [engine.submit(TEXT, voice, frames_after_eos=2) for _ in range(batch)]
+        t0 = time.monotonic()
+        engine.run(stop_when_idle=True)
+        wall = time.monotonic() - t0
+        total = sum(h.audio().shape[0] for h in handles) / SAMPLE_RATE
+        return total, wall
 
-    t0 = time.monotonic()
-    outs = model.generate_audio_batch(stacked, texts, frames_after_eos=2)
-    wall = time.monotonic() - t0
-    total_audio_sec = sum(o.shape[0] for o in outs) / SAMPLE_RATE
-    per_stream_audio = outs[0].shape[0] / SAMPLE_RATE
-    # Streams that run in real time concurrently: each stream must produce
-    # audio at >= 1x; aggregate throughput / per-stream realtime need.
+    run()  # warmup/compile
+    total_audio_sec, wall = run()
     aggregate_rtf = total_audio_sec / wall
     return {
         "batch": batch,
         "aggregate_rtf": aggregate_rtf,
-        "per_stream_rtf": per_stream_audio / wall,
+        "per_stream_rtf": aggregate_rtf / batch,
         "realtime_streams": aggregate_rtf,  # streams sustainable at 1x
         "wall_sec": wall,
     }

@@ -172,6 +172,12 @@ class TTSModel:
     # ------------------------------------------------------------------ props
 
     @property
+    def device(self) -> str:
+        """Platform name of the backing device (reference exposes a device
+        property too; tts_model.py:79-81)."""
+        return jax.devices()[0].platform
+
+    @property
     def sample_rate(self) -> int:
         return self.config.mimi.sample_rate
 

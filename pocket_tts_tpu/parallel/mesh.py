@@ -32,16 +32,19 @@ def make_mesh(dp: int = 1, tp: int = 1, devices: Optional[Sequence] = None) -> M
 
 
 def _param_spec_for_path(path) -> P:
-    """Megatron-style FF sharding; everything else replicated.
+    """Megatron-style sharding; everything else replicated.
 
     linear1.weight [ffn, d_model] -> rows over tp (row-parallel)
     linear2.weight [d_model, ffn] -> cols over tp (column-parallel, XLA
     inserts the psum on the contraction)
+    in_proj.weight [3E, E]        -> rows over tp (packed qkv; GSPMD reshards
+    around the head reshape as needed)
+    out_proj.weight [E, E]        -> cols over tp (contraction psum)
     """
     keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
-    if "linear1" in keys:
+    if "linear1" in keys or "in_proj" in keys:
         return P("tp", None)
-    if "linear2" in keys:
+    if "linear2" in keys or "out_proj" in keys:
         return P(None, "tp")
     return P()
 

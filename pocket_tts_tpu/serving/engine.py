@@ -114,6 +114,7 @@ class TTSEngine:
         }
         self._written = 0  # host mirror of the batch-common write index
         self._pos = [0] * B  # host mirror of per-slot stream positions
+        self._warm_mimi_row = None  # cached warmed-up B=1 mimi state
 
         self._slots = [_Slot() for _ in range(B)]
         self._pending: "queue.Queue[tuple[RequestHandle, ModelState, int, int, list[int]]]" = (
@@ -202,14 +203,18 @@ class TTSEngine:
                 "pos": self.flow_state["pos"],
             }
 
-        # 2. Fresh Mimi state + warmup for this slot only (B=1, then splice).
-        row_mimi = mimi.init_decode_state(1)
-        if self.warmup_frames > 0:
-            frame_fn = model._mimi_frame_jit(1)
-            zero_latent = jnp.zeros((1, flow_lm.ldim), dtype=jnp.float32)
-            for _ in range(self.warmup_frames):
-                _, row_mimi = frame_fn(model.params, zero_latent, row_mimi)
-        self.mimi_state = self._splice_row(self.mimi_state, row_mimi, b)
+        # 2. Fresh Mimi state + warmup for this slot only. The zero-latent
+        #    warmup is deterministic and voice-independent, so it is computed
+        #    once and spliced into every admitted slot.
+        if self._warm_mimi_row is None:
+            row_mimi = mimi.init_decode_state(1, kv_dtype=model.state_dtype)
+            if self.warmup_frames > 0:
+                frame_fn = model._mimi_frame_jit(1)
+                zero_latent = jnp.zeros((1, flow_lm.ldim), dtype=jnp.float32)
+                for _ in range(self.warmup_frames):
+                    _, row_mimi = frame_fn(model.params, zero_latent, row_mimi)
+            self._warm_mimi_row = row_mimi
+        self.mimi_state = self._splice_row(self.mimi_state, self._warm_mimi_row, b)
 
         # 3. Reset the slot's carry lanes.
         c = self.carry

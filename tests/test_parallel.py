@@ -48,3 +48,48 @@ def test_batch_tree_sharded_over_dp():
     sharded = shard_batch_tree(mesh, tree, batch_size=8)
     assert not sharded["x"].sharding.is_fully_replicated
     assert sharded["scalar"].sharding.is_fully_replicated
+
+
+def test_sharded_segment_matches_unsharded():
+    """dp x tp sharding must not change the numbers (temp=0, tiny config)."""
+    import jax.numpy as jnp
+    from tiny_config import tiny_config
+    from pocket_tts_tpu.models.flow_lm import FlowLMModel
+    from pocket_tts_tpu.models.generate import initial_carry, make_segment_fn
+    from pocket_tts_tpu.models.mimi import MimiModel
+
+    cfg = tiny_config()
+    flow_lm = FlowLMModel(config=cfg.flow_lm, latent_dim=cfg.mimi.quantizer.dimension)
+    mimi = MimiModel(config=cfg.mimi)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    params = {"flow_lm": flow_lm.init_params(k1), "mimi": mimi.init_params(k2)}
+
+    B, cap, S = 4, 128, 3
+    emb = jax.random.normal(jax.random.PRNGKey(1), (B, 6, flow_lm.dim), jnp.float32)
+    lengths = jnp.full((B,), 6, jnp.int32)
+    segment = make_segment_fn(flow_lm, mimi, 1, None, S)
+
+    def run(params_in, flow_state, mimi_state, carry):
+        flow_state = jax.jit(flow_lm.prefill)(params_in["flow_lm"], flow_state, emb, lengths)
+        out = jax.jit(segment)(
+            params_in, flow_state, mimi_state, carry,
+            jax.random.PRNGKey(2), jnp.float32(0.0), jnp.float32(1e9),
+        )
+        return np.asarray(out[3])  # audio [B, S, 1920]
+
+    ref = run(
+        params,
+        flow_lm.init_state(B, cap),
+        mimi.init_decode_state(B),
+        initial_carry(flow_lm, B, [3] * B, [S] * B),
+    )
+
+    mesh = make_mesh(dp=2, tp=4)
+    with mesh:
+        sharded = run(
+            shard_params(mesh, params),
+            shard_batch_tree(mesh, flow_lm.init_state(B, cap), B),
+            shard_batch_tree(mesh, mimi.init_decode_state(B), B),
+            shard_batch_tree(mesh, initial_carry(flow_lm, B, [3] * B, [S] * B), B),
+        )
+    np.testing.assert_allclose(sharded, ref, rtol=1e-4, atol=1e-5)
