@@ -1,5 +1,7 @@
 """Text normalization and chunking semantics (reference parity)."""
 
+import math
+
 import pytest
 
 from pocket_tts_tpu.models.text import (
@@ -70,3 +72,38 @@ def test_fallback_tokenizer_roundtrip():
     assert tok.decode(ids).strip() == text
     eos = tok.end_of_sentence_tokens()
     assert any(i in eos for i in ids)
+
+
+def test_prepare_punctuation_only():
+    text, guess = prepare_text_prompt("...")
+    assert guess == 3  # 1 word <= 4
+    assert text.endswith("...")
+
+
+def test_prepare_single_word():
+    text, guess = prepare_text_prompt("hello")
+    assert text == " " * 8 + "Hello."
+    assert guess == 3
+
+
+def test_split_empty_text_raises():
+    tok = FallbackWordTokenizer()
+    with pytest.raises(ValueError):
+        split_into_best_sentences(tok, "   ", max_tokens=10)
+
+
+def test_split_handles_multiple_punctuation_runs():
+    tok = FallbackWordTokenizer()
+    chunks = split_into_best_sentences(tok, "Wait... Really?! Yes. Done now.", max_tokens=4)
+    assert len(chunks) >= 2
+    assert "".join(chunks).count("Wait") == 1
+
+
+def test_estimate_max_gen_len():
+    from pocket_tts_tpu.models.text import estimate_max_gen_len
+
+    # ceil((tokens/3 + 2s) * 12.5): reference tts_model.py:440-444
+    assert estimate_max_gen_len(0, 12.5) == 25
+    assert estimate_max_gen_len(30, 12.5) == 150
+    assert estimate_max_gen_len(1, 12.5) == math.ceil((1 / 3 + 2) * 12.5)
+
