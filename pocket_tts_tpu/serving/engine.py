@@ -138,6 +138,14 @@ class TTSEngine:
         self._to_pcm16 = jax.jit(
             lambda a: (jnp.clip(a, -1.0, 1.0) * 32767.0).astype(jnp.int16)
         )
+        self._snapshot = jax.jit(
+            lambda c: (
+                c["eos_step"] + 0,
+                c["step"] + 0,
+                c["frames_after_eos"] + 0,
+                c["max_gen"] + 0,
+            )
+        )
         self._rng = jax.random.PRNGKey(1234)
 
     # ------------------------------------------------------------ jit bodies
@@ -290,11 +298,8 @@ class TTSEngine:
 
     # ------------------------------------------------------------ main loop
 
-    def step(self) -> int:
-        """Admit pending requests, decode one segment, deliver frames.
-
-        Returns the number of active slots after the tick.
-        """
+    def _admit_pending(self) -> bool:
+        """Move queued requests into free slots; returns True if any admitted."""
         admitted = []
         for b, slot in enumerate(self._slots):
             if slot.active:
@@ -308,10 +313,15 @@ class TTSEngine:
         if admitted:
             self._maybe_compact()
             self._prefill_admitted(admitted)
+        return bool(admitted)
 
-        if not any(s.active for s in self._slots):
-            return 0
+    def _dispatch_segment(self):
+        """Enqueue one decode segment on the device; returns delivery handles.
 
+        Under jax async dispatch this returns immediately — the returned
+        device arrays are futures, so a caller may dispatch the next segment
+        before fetching this one (see run()).
+        """
         self._maybe_compact()
         self._rng, rng = jax.random.split(self._rng)
         (
@@ -331,45 +341,73 @@ class TTSEngine:
             jnp.float32(self.model.eos_threshold),
         )
         self._written += self.segment_frames
+        # Capture slot ownership at dispatch time: delivery must only touch
+        # the handles that were actually decoding in THIS segment (a slot may
+        # be retired and re-admitted before delivery under pipelining).
+        handles = [s.handle if s.active else None for s in self._slots]
         for b in range(self.num_slots):
-            if self._slots[b].active:
+            if handles[b] is not None:
                 self._pos[b] += self.segment_frames
 
         if self.emit_pcm16:
             audio = self._to_pcm16(audio)
+        # Snapshot the carry fields needed for delivery into fresh buffers:
+        # the NEXT dispatch donates self.carry, which would delete these.
+        eos_step, step, fae, max_gen = self._snapshot(self.carry)
+        for dev_arr in (audio, emit, eos_step, step, fae, max_gen):
+            dev_arr.copy_to_host_async()
+        return (handles, audio, emit, eos_step, step, fae, max_gen)
+
+    def _deliver(self, dispatched) -> int:
+        """Fetch a dispatched segment's outputs, push frames, retire slots."""
+        handles, audio, emit, eos_step_d, step_d, fae_d, max_gen_d = dispatched
         audio_np, emit_np, eos_step, step, fae_np, max_gen_np = jax.device_get(
-            (
-                audio,
-                emit,
-                self.carry["eos_step"],
-                self.carry["step"],
-                self.carry["frames_after_eos"],
-                self.carry["max_gen"],
-            )
+            (audio, emit, eos_step_d, step_d, fae_d, max_gen_d)
         )
-        for b, slot in enumerate(self._slots):
-            if not slot.active:
+        for b, handle in enumerate(handles):
+            if handle is None:
                 continue
             for s in range(self.segment_frames):
                 if emit_np[b, s]:
-                    slot.handle._queue.put(audio_np[b, s])
-                    slot.emitted += 1
+                    handle._queue.put(audio_np[b, s])
             # Done when the reference loop would have exited
             # (step >= eos_step + frames_after_eos, capped by max_gen).
             steps_target = min(int(eos_step[b]) + int(fae_np[b]), int(max_gen_np[b]))
-            if int(step[b]) >= steps_target:
-                slot.handle._queue.put(None)
-                slot.handle._done.set()
-                slot.active = False
-                slot.handle = None
+            if int(step[b]) >= steps_target and not handle.done:
+                handle._queue.put(None)
+                handle._done.set()
+                slot = self._slots[b]
+                if slot.handle is handle:  # slot not yet re-admitted
+                    slot.active = False
+                    slot.handle = None
         return sum(s.active for s in self._slots)
 
+    def step(self) -> int:
+        """Admit, decode one segment, deliver its frames (synchronous tick)."""
+        self._admit_pending()
+        if not any(s.active for s in self._slots):
+            return 0
+        return self._deliver(self._dispatch_segment())
+
     def run(self, stop_when_idle: bool = True) -> None:
-        """Pump the engine until all submitted work is done (or forever)."""
+        """Pump the engine until all submitted work is done (or forever).
+
+        Pipelined: segment k+1 is dispatched before segment k's outputs are
+        fetched, overlapping device compute with device->host transfer and
+        host-side frame delivery. Slot retirement lags one segment, so a slot
+        becomes reusable one tick after its stream finishes — admission
+        correctness is unaffected (admission rewrites the slot's rows).
+        """
+        in_flight = None
         idle_ticks = 0
         while True:
-            active = self.step()
-            if active == 0 and self._pending.empty():
+            self._admit_pending()
+            any_active = any(s.active for s in self._slots)
+            dispatched = self._dispatch_segment() if any_active else None
+            if in_flight is not None:
+                self._deliver(in_flight)
+            in_flight = dispatched
+            if not any_active and in_flight is None and self._pending.empty():
                 idle_ticks += 1
                 if stop_when_idle and idle_ticks > 1:
                     return
