@@ -651,7 +651,6 @@ class TTSModel:
         in_flight: list = []
         dispatched = 0
         exhausted = False
-        steps_ran = 0
         total_emitted_samples = 0
 
         while True:
@@ -672,14 +671,12 @@ class TTSModel:
                 break
             seg, audio, emit, all_done = in_flight.pop(0)
             audio_np, emit_np, done = jax.device_get((audio, emit, all_done))
-            steps_ran += seg
             for s in range(seg):
                 if not emit_np[:, s].any():
                     continue
                 total_emitted_samples += int(emit_np[:, s].sum()) * audio_np.shape[-1]
                 yield audio_np[:, s, :], emit_np[:, s]
             if bool(done):
-                steps_ran = dispatched  # state advanced through all dispatches
                 break
 
         # Restore exact continuation semantics: FlowLM ran
