@@ -203,3 +203,21 @@ def save_checkpoint(params: dict, path, convtr_groups_lookup=None) -> int:
     save_safetensors(path, out)
     logger.info("Saved %d tensors to %s", len(out), path)
     return len(out)
+
+
+def load_predefined_voice(voice_name: str) -> np.ndarray:
+    """Fetch a predefined voice's conditioning tensor [1, T, 1024]
+    (reference: pocket_tts_mlx/utils/weight_conversion.py:78-89)."""
+    from pocket_tts_tpu.models.tts_model import PREDEFINED_VOICES
+    from pocket_tts_tpu.utils.assets import download_if_necessary
+    from pocket_tts_tpu.utils.safetensors import load_safetensors
+
+    if voice_name not in PREDEFINED_VOICES:
+        raise ValueError(
+            f"Predefined voice '{voice_name}' not found, available voices are "
+            f"{list(PREDEFINED_VOICES)}."
+        )
+    tensors = load_safetensors(download_if_necessary(PREDEFINED_VOICES[voice_name]))
+    if "audio_prompt" not in tensors:
+        raise KeyError("audio_prompt not found in voice embedding file")
+    return tensors["audio_prompt"]

@@ -115,6 +115,8 @@ class TTSEngine:
         self._written = 0  # host mirror of the batch-common write index
         self._pos = [0] * B  # host mirror of per-slot stream positions
         self._warm_mimi_row = None  # cached warmed-up B=1 mimi state
+        self._voice_cache: dict = {}  # id(voice) -> capacity-expanded tree
+        self._admit_jit = self._build_admit_fn()
 
         self._slots = [_Slot() for _ in range(B)]
         self._pending: "queue.Queue[tuple[RequestHandle, ModelState, int, int, list[int]]]" = (
@@ -176,44 +178,79 @@ class TTSEngine:
 
     # ------------------------------------------------------------ admission
 
-    def _splice_row(self, batch_tree, row_tree, b: int):
-        """Copy a B=1 state pytree into row b of the batch pytree."""
-        def splice(batch_leaf, row_leaf):
-            if batch_leaf.ndim == 0:
-                return batch_leaf  # batch-common scalars (widx) stay
-            return batch_leaf.at[b].set(row_leaf[0].astype(batch_leaf.dtype))
+    def _build_admit_fn(self):
+        """One jitted program performing a whole slot admission.
 
-        return jax.tree_util.tree_map(splice, batch_tree, row_tree)
+        The slot index is a traced scalar, so a single compiled executable
+        serves every slot; all splices are dynamic_update_slices fused into
+        one dispatch (per-slot eager .at[b].set updates cost ~15 device
+        round-trips each, which dominated bursts of admissions).
+        """
+
+        def splice(batch_leaf, row_leaf, b):
+            if batch_leaf.ndim == 0:
+                return batch_leaf  # batch-common scalars (widx) handled below
+            start = (b,) + (0,) * (batch_leaf.ndim - 1)
+            return jax.lax.dynamic_update_slice(
+                batch_leaf, row_leaf.astype(batch_leaf.dtype), start
+            )
+
+        def admit_fn(flow_state, mimi_state, carry, voice_tree, warm_mimi, b,
+                     pos0, fae, max_gen, widx_new):
+            transformer = jax.tree_util.tree_map(
+                lambda bl, rl: splice(bl, rl, b),
+                flow_state["transformer"],
+                voice_tree["transformer"],
+            )
+            transformer["widx"] = jnp.maximum(flow_state["transformer"]["widx"], widx_new)
+            flow_state = {
+                "transformer": transformer,
+                "pos": jax.lax.dynamic_update_slice(flow_state["pos"], pos0[None], (b,)),
+            }
+            mimi_state = jax.tree_util.tree_map(
+                lambda bl, rl: splice(bl, rl, b), mimi_state, warm_mimi
+            )
+            upd = lambda a, v: jax.lax.dynamic_update_slice(
+                a, jnp.asarray([v], a.dtype), (b,)
+            )
+            carry = {
+                "latent": jax.lax.dynamic_update_slice(
+                    carry["latent"],
+                    jnp.zeros((1, carry["latent"].shape[1]), carry["latent"].dtype),
+                    (b, 0),
+                ),
+                "is_bos": jax.lax.dynamic_update_slice(
+                    carry["is_bos"], jnp.ones((1,), jnp.bool_), (b,)
+                ),
+                "eos_step": upd(carry["eos_step"], _EOS_NEVER),
+                "step": upd(carry["step"], 0),
+                "tick": carry["tick"],
+                "frames_after_eos": jax.lax.dynamic_update_slice(
+                    carry["frames_after_eos"], fae[None], (b,)
+                ),
+                "max_gen": jax.lax.dynamic_update_slice(carry["max_gen"], max_gen[None], (b,)),
+            }
+            return flow_state, mimi_state, carry
+
+        return jax.jit(admit_fn, donate_argnums=(0, 1, 2))
+
+    def _expanded_voice(self, voice_state: ModelState):
+        """Voice tree padded to engine capacity (cached: expansion is ~15
+        eager ops, and voices are reused across many requests)."""
+        key = id(voice_state)
+        hit = self._voice_cache.get(key)
+        if hit is None:
+            hit = self.model.flow_lm.expand_state(voice_state.tree, self.capacity)
+            if len(self._voice_cache) >= 16:
+                self._voice_cache.pop(next(iter(self._voice_cache)))
+            self._voice_cache[key] = hit
+        return hit
 
     def _admit(self, b: int, handle, voice_state: ModelState, fae: int, max_gen: int, tokens):
         flow_lm, mimi, model = self.model.flow_lm, self.model.mimi, self.model
 
-        # 1. Voice KV rows -> slot b (slots between the voice's writes and the
-        #    batch write index stay invalid; see slot-indexed cache design).
-        voice_tree = flow_lm.expand_state(voice_state.tree, self.capacity)
-        self.flow_state = {
-            "transformer": self._splice_row(
-                self.flow_state["transformer"], voice_tree["transformer"], b
-            ),
-            "pos": self.flow_state["pos"].at[b].set(voice_state.pos[0]),
-        }
-        self._pos[b] = voice_state.pos[0]
-
-        # The batch write index must clear the spliced voice's own writes,
-        # otherwise the next prefill would overwrite the voice KV rows.
-        if voice_state.written > self._written:
-            self._written = voice_state.written
-            self.flow_state = {
-                "transformer": {
-                    "layers": self.flow_state["transformer"]["layers"],
-                    "widx": jnp.asarray(self._written, jnp.int32),
-                },
-                "pos": self.flow_state["pos"],
-            }
-
-        # 2. Fresh Mimi state + warmup for this slot only. The zero-latent
-        #    warmup is deterministic and voice-independent, so it is computed
-        #    once and spliced into every admitted slot.
+        # Warmed Mimi row: the zero-latent warmup is deterministic and
+        # voice-independent, so it is computed once and spliced everywhere.
         if self._warm_mimi_row is None:
             row_mimi = mimi.init_decode_state(1, kv_dtype=model.state_dtype)
             if self.warmup_frames > 0:
@@ -222,19 +259,24 @@ class TTSEngine:
                 for _ in range(self.warmup_frames):
                     _, row_mimi = frame_fn(model.params, zero_latent, row_mimi)
             self._warm_mimi_row = row_mimi
-        self.mimi_state = self._splice_row(self.mimi_state, self._warm_mimi_row, b)
 
-        # 3. Reset the slot's carry lanes.
-        c = self.carry
-        self.carry = {
-            "latent": c["latent"].at[b].set(0.0),
-            "is_bos": c["is_bos"].at[b].set(True),
-            "eos_step": c["eos_step"].at[b].set(_EOS_NEVER),
-            "step": c["step"].at[b].set(0),
-            "tick": c["tick"],
-            "frames_after_eos": c["frames_after_eos"].at[b].set(fae),
-            "max_gen": c["max_gen"].at[b].set(max_gen),
-        }
+        voice_tree = self._expanded_voice(voice_state)
+        # The batch write index must clear the spliced voice's own writes,
+        # otherwise the next prefill would overwrite the voice KV rows.
+        self._written = max(self._written, voice_state.written)
+        self.flow_state, self.mimi_state, self.carry = self._admit_jit(
+            self.flow_state,
+            self.mimi_state,
+            self.carry,
+            voice_tree,
+            self._warm_mimi_row,
+            jnp.int32(b),
+            jnp.int32(voice_state.pos[0]),
+            jnp.int32(fae),
+            jnp.int32(max_gen),
+            jnp.int32(self._written),
+        )
+        self._pos[b] = voice_state.pos[0]
 
         slot = self._slots[b]
         slot.active = True

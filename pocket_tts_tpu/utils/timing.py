@@ -35,6 +35,11 @@ class display_execution_time:
         return False
 
 
+def size_of_dict(state_dict: dict) -> int:
+    """Reference-compatible alias (pocket_tts_mlx/utils/utils.py:15-25)."""
+    return size_of_pytree(state_dict)
+
+
 def size_of_pytree(tree) -> int:
     """Total byte size of all arrays in a pytree (params or streaming state)."""
     total = 0
