@@ -576,7 +576,11 @@ class TTSModel:
         """
         tree = model_state.tree
         B = model_state.batch_size
-        assert len(texts) == B and len(frames_after_eos) == B
+        if len(texts) != B or len(frames_after_eos) != B:
+            raise ValueError(
+                f"model_state holds {B} stream(s) but got {len(texts)} text(s); "
+                "use generate_audio_batch for batched states"
+            )
 
         token_lists = [self.tokenizer.encode(t) for t in texts]
         token_counts = [len(t) for t in token_lists]

@@ -135,3 +135,17 @@ def test_windowed_ring_streaming_equals_full_with_wraparound():
         outs.append(_np(y))
     streamed = np.concatenate(outs, axis=1)
     np.testing.assert_allclose(streamed, full, rtol=1e-4, atol=1e-5)
+
+
+def test_causal_forward_matches_streaming_call():
+    """The cache-free training forward must equal the streaming KV path."""
+    attn = CausalKVAttention(embed_dim=32, num_heads=4)
+    params = attn.init_params(jax.random.PRNGKey(7))
+    B, T = 2, 10
+    x = RNG.standard_normal((B, T, 32)).astype(np.float32)
+
+    full = attn.forward(params, jnp.array(x))
+    state = attn.init_state(B, capacity=16)
+    positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :], (B, T))
+    streamed, _ = attn(params, jnp.array(x), state, positions, jnp.int32(0))
+    np.testing.assert_allclose(_np(full), _np(streamed), rtol=1e-5, atol=1e-6)
