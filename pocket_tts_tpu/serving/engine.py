@@ -32,9 +32,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pocket_tts_tpu.default_parameters import DEFAULT_SEGMENT_FRAMES
+from pocket_tts_tpu.default_parameters import DEFAULT_SEGMENT_FRAMES, MAX_TOKEN_PER_CHUNK
 from pocket_tts_tpu.models.generate import make_segment_fn
-from pocket_tts_tpu.models.text import estimate_max_gen_len, prepare_text_prompt
+from pocket_tts_tpu.models.text import (
+    estimate_max_gen_len,
+    prepare_text_prompt,
+    split_into_best_sentences,
+)
 from pocket_tts_tpu.models.tts_model import ModelState, TTSModel, _bucket
 
 logger = logging.getLogger(__name__)
@@ -50,6 +54,11 @@ class RequestHandle:
     text: str
     _queue: "queue.Queue[Optional[np.ndarray]]" = field(default_factory=queue.Queue)
     _done: threading.Event = field(default_factory=threading.Event)
+    # Remaining sentence chunks for long texts: each chunk restarts from the
+    # voice state, matching the reference's per-chunk copy_state semantics
+    # (tts_model.py:346-361, :372-373).
+    _chunks: list = field(default_factory=list)
+    _voice: Optional[ModelState] = None
 
     def frames(self):
         """Yield 1920-sample float32 frames until the utterance completes."""
@@ -76,6 +85,7 @@ class _Slot:
     active: bool = False
     handle: Optional[RequestHandle] = None
     emitted: int = 0
+    epoch: int = -1  # admission generation; guards stale pipelined deliveries
 
 
 class TTSEngine:
@@ -115,6 +125,8 @@ class TTSEngine:
         self._written = 0  # host mirror of the batch-common write index
         self._pos = [0] * B  # host mirror of per-slot stream positions
         self._warm_mimi_row = None  # cached warmed-up B=1 mimi state
+        self._epoch_counter = 0
+        self._retired_epochs: set[int] = set()
         self._voice_cache: dict = {}  # id(voice) -> capacity-expanded tree
         self._admit_jit = self._build_admit_fn()
 
@@ -163,16 +175,30 @@ class TTSEngine:
         text: str,
         voice_state: ModelState,
         frames_after_eos: Optional[int] = None,
+        max_tokens: int = MAX_TOKEN_PER_CHUNK,
     ) -> RequestHandle:
-        """Queue an utterance; returns a handle streaming its frames."""
-        prepared_text, guess = prepare_text_prompt(text)
-        del prepared_text
-        fae = frames_after_eos if frames_after_eos is not None else guess + 2
-        tokens = self.model.tokenizer.encode(text)
-        max_gen = estimate_max_gen_len(len(tokens), self.model.config.mimi.frame_rate)
+        """Queue an utterance; returns a handle streaming its frames.
+
+        Long texts are split into sentence chunks (same packing as the direct
+        API); the handle's frames span all chunks in order.
+        """
+        max_tokens = min(max_tokens, self.text_pad)
+        chunks = split_into_best_sentences(self.model.tokenizer, text, max_tokens)
+
+        def chunk_spec(chunk_text: str):
+            _, guess = prepare_text_prompt(chunk_text)
+            fae = frames_after_eos if frames_after_eos is not None else guess + 2
+            tokens = self.model.tokenizer.encode(chunk_text)[: self.text_pad]
+            max_gen = estimate_max_gen_len(len(tokens), self.model.config.mimi.frame_rate)
+            return (fae, max_gen, tokens)
+
+        specs = [chunk_spec(c) for c in chunks]
         with self._lock:
             handle = RequestHandle(self._next_id, text)
             self._next_id += 1
+        handle._voice = voice_state
+        handle._chunks = specs[1:]
+        fae, max_gen, tokens = specs[0]
         self._pending.put((handle, voice_state, fae, max_gen, tokens))
         return handle
 
@@ -282,6 +308,8 @@ class TTSEngine:
         slot.active = True
         slot.handle = handle
         slot.emitted = 0
+        self._epoch_counter += 1
+        slot.epoch = self._epoch_counter
         logger.info("engine: admitted request %d into slot %d", handle.request_id, b)
         return tokens
 
@@ -384,9 +412,10 @@ class TTSEngine:
         )
         self._written += self.segment_frames
         # Capture slot ownership at dispatch time: delivery must only touch
-        # the handles that were actually decoding in THIS segment (a slot may
-        # be retired and re-admitted before delivery under pipelining).
-        handles = [s.handle if s.active else None for s in self._slots]
+        # the (handle, epoch) pairs that were actually decoding in THIS
+        # segment (a slot may be retired and re-admitted — even with the same
+        # handle, for chunked requests — before delivery under pipelining).
+        handles = [(s.handle, s.epoch) if s.active else None for s in self._slots]
         for b in range(self.num_slots):
             if handles[b] is not None:
                 self._pos[b] += self.segment_frames
@@ -406,20 +435,34 @@ class TTSEngine:
         audio_np, emit_np, eos_step, step, fae_np, max_gen_np = jax.device_get(
             (audio, emit, eos_step_d, step_d, fae_d, max_gen_d)
         )
-        for b, handle in enumerate(handles):
-            if handle is None:
+        for b, entry in enumerate(handles):
+            if entry is None:
                 continue
+            handle, epoch = entry
             for s in range(self.segment_frames):
                 if emit_np[b, s]:
                     handle._queue.put(audio_np[b, s])
+            if epoch in self._retired_epochs:
+                continue  # stale segment of an already-retired admission
             # Done when the reference loop would have exited
             # (step >= eos_step + frames_after_eos, capped by max_gen).
             steps_target = min(int(eos_step[b]) + int(fae_np[b]), int(max_gen_np[b]))
-            if int(step[b]) >= steps_target and not handle.done:
-                handle._queue.put(None)
-                handle._done.set()
+            if int(step[b]) >= steps_target:
+                self._retired_epochs.add(epoch)
+                if len(self._retired_epochs) > 4 * self.num_slots:
+                    horizon = self._epoch_counter - 2 * self.num_slots
+                    self._retired_epochs = {e for e in self._retired_epochs if e > horizon}
+                if handle._chunks:
+                    # More sentence chunks: requeue the next one (it restarts
+                    # from the voice state, like the direct API's per-chunk
+                    # copy_state=True). The handle stays open.
+                    fae, max_gen, tokens = handle._chunks.pop(0)
+                    self._pending.put((handle, handle._voice, fae, max_gen, tokens))
+                else:
+                    handle._queue.put(None)
+                    handle._done.set()
                 slot = self._slots[b]
-                if slot.handle is handle:  # slot not yet re-admitted
+                if slot.epoch == epoch:  # slot not yet re-admitted
                     slot.active = False
                     slot.handle = None
         return sum(s.active for s in self._slots)

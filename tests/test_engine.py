@@ -117,3 +117,19 @@ def test_engine_pcm16_emission(model, voice):
     audio = handle.audio()
     assert audio.dtype == np.int16
     assert audio.shape[0] % 1920 == 0 and audio.shape[0] > 0
+
+
+def test_engine_long_text_chunks(model, voice):
+    """Texts beyond max_tokens split into chunks that all stream through one
+    handle, in order, each restarting from the voice state."""
+    engine = TTSEngine(model, slots=2, segment_frames=4, capacity=512, text_pad=32)
+    text = "One two three four five six. Seven eight nine ten eleven twelve."
+    handle = engine.submit(text, voice, frames_after_eos=2, max_tokens=8)
+    engine.run(stop_when_idle=True)
+    audio = handle.audio()
+    # two chunks, each max_gen frames (EOS disabled)
+    expected = sum(
+        _expected_frames(model, c)
+        for c in ["One two three four five six.", "Seven eight nine ten eleven twelve."]
+    )
+    assert audio.shape[0] == expected * 1920
