@@ -79,3 +79,29 @@ def test_gradients_reach_all_components(setup):
         for k in path:
             g = g[k]
         assert float(jnp.abs(g).max()) > 0.0, path
+
+
+def test_checkpoint_roundtrip(setup, tmp_path):
+    flow_lm, params = setup
+    optimizer = optax.adamw(1e-3)
+    state = init_train_state(flow_lm, params, optimizer)
+    step = jax.jit(make_train_step(flow_lm, optimizer))
+    tokens, latents, eos = _batch(flow_lm)
+    state, _ = step(state, jax.random.PRNGKey(0), tokens, latents, eos)
+
+    from pocket_tts_tpu.training.checkpoint import restore_train_state, save_train_state
+
+    path = tmp_path / "ckpt"
+    save_train_state(state, path)
+    template = init_train_state(flow_lm, params, optimizer)
+    restored = restore_train_state(path, template)
+    assert int(restored.step) == 1
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params), jax.tree_util.tree_leaves(restored.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # training continues from the restored state
+    restored, metrics = step(restored, jax.random.PRNGKey(1), tokens, latents, eos)
+    assert int(restored.step) == 2
+    assert np.isfinite(float(metrics["loss"]))
