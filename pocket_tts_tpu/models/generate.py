@@ -49,6 +49,7 @@ def make_segment_fn(
     lsd_decode_steps: int,
     noise_clamp: Optional[float],
     segment_frames: int,
+    unroll: int = 1,
 ):
     """Build the pure segment function.
 
@@ -96,7 +97,8 @@ def make_segment_fn(
             return (flow_state, mimi_state, new_c), (frame[:, 0, :], emit)
 
         (flow_state, mimi_state, carry), (audio, emit) = jax.lax.scan(
-            step, (flow_state, mimi_state, carry), None, length=segment_frames
+            step, (flow_state, mimi_state, carry), None, length=segment_frames,
+            unroll=unroll,
         )
         steps_target = jnp.minimum(
             carry["eos_step"] + carry["frames_after_eos"] + 1, carry["max_gen"]

@@ -146,3 +146,28 @@ def test_batch_different_voices(model):
             np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
     finally:
         model.temp = old_temp
+
+
+def test_continuation_context_matters(model, voice):
+    """copy_state=False carries acoustic context: generating B after A must
+    differ from generating B from the fresh voice state (temp=0 isolates
+    conditioning effects), and must be reproducible."""
+    old_temp = model.temp
+    model.temp = 0.0
+    try:
+        text_a, text_b = "First sentence spoken here now.", "Second sentence follows on."
+
+        def continued():
+            work = ModelState(voice.tree, voice.pos, voice.written)
+            model.generate_audio(work, text_a, frames_after_eos=2, copy_state=False)
+            return model.generate_audio(work, text_b, frames_after_eos=2, copy_state=False)
+
+        b_continued_1 = continued()
+        b_continued_2 = continued()
+        b_fresh = model.generate_audio(voice, text_b, frames_after_eos=2)
+
+        np.testing.assert_allclose(b_continued_1, b_continued_2, rtol=1e-4, atol=1e-7)
+        assert b_continued_1.shape == b_fresh.shape
+        assert np.abs(b_continued_1 - b_fresh).max() > 1e-6  # context changed the audio
+    finally:
+        model.temp = old_temp
