@@ -367,7 +367,13 @@ class TTSModel:
         noise_clamp = self.noise_clamp
 
         def build():
-            inner = make_segment_fn(self.flow_lm, self.mimi, lsd_steps, noise_clamp, S)
+            # Unrolling the decode scan removes per-iteration loop overhead
+            # (~17% per frame at S=32 on v5e); worth the compile time for the
+            # larger steady-state segments only.
+            unroll = 4 if S >= 16 else (2 if S >= 8 else 1)
+            inner = make_segment_fn(
+                self.flow_lm, self.mimi, lsd_steps, noise_clamp, S, unroll=unroll
+            )
 
             def fn(params, flow_state, mimi_state, carry, rng, temp, eos_threshold):
                 with self._precision():

@@ -139,7 +139,8 @@ class TTSEngine:
 
         self._segment = jax.jit(
             make_segment_fn(
-                flow_lm, mimi, model.lsd_decode_steps, model.noise_clamp, segment_frames
+                flow_lm, mimi, model.lsd_decode_steps, model.noise_clamp, segment_frames,
+                unroll=2 if segment_frames >= 8 else 1,
             ),
             donate_argnums=(1, 2, 3),
         )
