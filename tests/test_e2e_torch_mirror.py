@@ -1,0 +1,181 @@
+"""End-to-end parity: one full decode step re-implemented in numpy/torch.
+
+This is the offline stand-in for checkpoint waveform parity (SURVEY §4): the
+complete pipeline math — text embed, 2-layer causal backbone with RoPE,
+out-norm, EOS head, 1-step flow ODE, quantizer, depthwise upsampler, windowed
+codec transformer with LayerScale, SEANet vocoder — is independently
+re-implemented here with torch/numpy primitives and compared against the JAX
+pipeline's first generated frame at temp=0 (noise-free).
+"""
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+import jax
+import jax.numpy as jnp
+import pytest
+
+import torch_mirror as tm
+from tiny_config import tiny_config
+from pocket_tts_tpu.models.flow_lm import FlowLMModel
+from pocket_tts_tpu.models.mimi import MimiModel
+
+RNG = np.random.default_rng(71)
+
+
+def _np(tree):
+    return jax.tree_util.tree_map(np.asarray, tree)
+
+
+# ---------------------------------------------------------------- mirrors
+
+
+def transformer_layer(p, x, num_heads, kind, context=None, layer_scale=False):
+    """Pre-LN attention + FF block (reference mimi_transformer.py:17-69)."""
+    h = tm.layer_norm(x, p["norm1"]["weight"], p["norm1"]["bias"], eps=1e-5)
+    if kind == "flow_lm":
+        attn = tm.causal_attention(
+            h, p["self_attn"]["in_proj"]["weight"], p["self_attn"]["out_proj"]["weight"],
+            num_heads,
+        )
+    else:
+        attn = tm.windowed_attention(
+            h, p["self_attn"]["in_proj"]["weight"], p["self_attn"]["out_proj"]["weight"],
+            num_heads, context,
+        )
+    if layer_scale:
+        attn = attn * p["layer_scale_1"]["scale"]
+    x = x + attn
+    h = tm.layer_norm(x, p["norm2"]["weight"], p["norm2"]["bias"], eps=1e-5)
+    ff = h @ p["linear1"]["weight"].T
+    ff = F.gelu(torch.tensor(ff)).numpy()
+    ff = ff @ p["linear2"]["weight"].T
+    if layer_scale:
+        ff = ff * p["layer_scale_2"]["scale"]
+    return x + ff
+
+
+def causal_conv(p, x, stride=1, dilation=1, pad_mode="constant"):
+    return tm.causal_conv1d(x, p["weight"], p.get("bias"), stride, dilation, 1, pad_mode)
+
+
+def seanet_resblock(p, x, dilations):
+    v = x
+    convs = [p["block"][1]["conv"], p["block"][3]["conv"]]
+    for conv_p, dil in zip(convs, dilations):
+        v = np.where(v > 0, v, np.expm1(v))  # ELU(alpha=1)
+        v = causal_conv(conv_p, v, dilation=dil)
+    return x + v
+
+
+def elu(x):
+    return np.where(x > 0, x, np.expm1(x))
+
+
+def seanet_decoder(params, z, cfg):
+    """Mirror of SEANetDecoder forward (reference seanet.py:111-170)."""
+    layers = params["model"]
+    i = 0
+    x = causal_conv(layers[i]["conv"], z)
+    i += 1
+    for ratio in cfg.seanet.ratios:
+        i += 1  # ELU slot
+        x = elu(x)
+        p = layers[i]["convtr"]
+        # our storage is grad-conv layout; rebuild torch layout for the mirror
+        w = p["weight"][:, :, ::-1]
+        cout, cin_per_g, k = w.shape
+        w_torch = np.ascontiguousarray(np.transpose(w, (1, 0, 2)))  # groups=1
+        x = tm.streaming_conv_transpose1d_full(x, w_torch, p.get("bias"), ratio, 1)
+        i += 1
+        for j in range(cfg.seanet.n_residual_layers):
+            x = seanet_resblock(layers[i], x, (cfg.seanet.dilation_base ** j, 1))
+            i += 1
+    x = elu(x)
+    i += 1  # ELU slot
+    x = causal_conv(layers[i]["conv"], x)
+    return x
+
+
+def flow_step_mirror(fp, tokens, cfg):
+    """FlowLM prefill(text) + first decode step at temp=0 -> (latent, eos)."""
+    emb = fp["conditioner"]["embed"]["weight"][tokens]  # [T, d]
+    bos = fp["bos_emb"] @ fp["input_linear"]["weight"].T
+    x = np.concatenate([emb, bos[None, :]], axis=0)[None]  # [1, T+1, d]
+    for layer_p in fp["transformer"]["layers"]:
+        x = transformer_layer(layer_p, x, cfg.flow_lm.transformer.num_heads, "flow_lm")
+    h = tm.layer_norm(x, fp["out_norm"]["weight"], fp["out_norm"]["bias"], eps=1e-5)
+    h = h[:, -1]  # [1, d]
+    eos_logit = (h @ fp["out_eos"]["weight"].T + fp["out_eos"]["bias"])[0, 0]
+    # temp=0 noise; 1-step Euler: latent = 0 + v(s=0, t=1, x=0)
+    ldim = fp["bos_emb"].shape[0]
+    x0 = np.zeros((1, ldim), dtype=np.float32)
+    s = np.zeros((1, 1), dtype=np.float32)
+    t = np.ones((1, 1), dtype=np.float32)
+    latent = tm.adaln_mlp(fp["flow_net"], h, s, t, x0)
+    return latent, eos_logit
+
+
+def mimi_frame_mirror(mp, fp, latent, cfg):
+    """First Mimi frame decode (fresh streaming state == full pass)."""
+    x = latent * fp["emb_std"] + fp["emb_mean"]  # [1, ldim]
+    x = x[:, :, None]  # [1, ldim, 1]
+    q = F.conv1d(torch.tensor(x), torch.tensor(mp["quantizer"]["output_proj"]["weight"])).numpy()
+
+    up = mp["upsample"]["convtr"]["convtr"]
+    w = up["weight"][:, :, ::-1]  # (out, 1, k) grad-conv -> torch depthwise (in,1,k)
+    dim = w.shape[0]
+    x = tm.streaming_conv_transpose1d_full(q, np.ascontiguousarray(w), None, 16, dim)
+
+    # decoder ProjectedTransformer: [B,C,T]->[B,T,C], optional in/out proj
+    tp = mp["decoder_transformer"]
+    h = np.transpose(x, (0, 2, 1))
+    for layer_p in tp["transformer"]["layers"]:
+        h = transformer_layer(
+            layer_p, h, cfg.mimi.transformer.num_heads, "mimi",
+            context=cfg.mimi.transformer.context, layer_scale=True,
+        )
+    out = tp["output_projs"][0]
+    if "weight" in out:
+        h = h @ out["weight"].T
+    x = np.transpose(h, (0, 2, 1))
+
+    return seanet_decoder(mp["decoder"], x, cfg.mimi)
+
+
+# ------------------------------------------------------------------- test
+
+
+def test_full_decode_step_matches_numpy_mirror():
+    cfg = tiny_config()
+    flow_lm = FlowLMModel(config=cfg.flow_lm, latent_dim=cfg.mimi.quantizer.dimension)
+    mimi = MimiModel(config=cfg.mimi)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    params = {"flow_lm": flow_lm.init_params(k1), "mimi": mimi.init_params(k2)}
+    fp, mp = _np(params["flow_lm"]), _np(params["mimi"])
+
+    tokens = RNG.integers(0, 4000, 7).astype(np.int32)
+
+    # --- JAX pipeline: prefill text, one decode step, one mimi frame
+    state = flow_lm.init_state(1, capacity=64)
+    emb = flow_lm.embed_text(params["flow_lm"], jnp.array(tokens)[None, :])
+    state = flow_lm.prefill(params["flow_lm"], state, emb, jnp.array([7], jnp.int32))
+    state, latent, is_eos = flow_lm.decode_step(
+        params["flow_lm"], state, jnp.zeros((1, flow_lm.ldim)), jnp.ones((1,), bool),
+        jax.random.PRNGKey(0), 0.0, 1, None, -4.0,
+    )
+    mimi_state = mimi.init_decode_state(1)
+    quantized = mimi.quantize(
+        params["mimi"],
+        (latent * params["flow_lm"]["emb_std"] + params["flow_lm"]["emb_mean"])[:, :, None],
+    )
+    frame, _ = mimi.decode_from_latent(params["mimi"], quantized, mimi_state)
+
+    # --- numpy/torch mirror
+    latent_ref, eos_logit_ref = flow_step_mirror(fp, tokens, cfg)
+    frame_ref = mimi_frame_mirror(mp, fp, latent_ref, cfg)
+
+    np.testing.assert_allclose(np.asarray(latent), latent_ref, rtol=1e-3, atol=1e-4)
+    assert bool(np.asarray(is_eos)[0]) == bool(eos_logit_ref > -4.0)
+    np.testing.assert_allclose(np.asarray(frame), frame_ref, rtol=1e-3, atol=1e-4)
+    assert frame.shape == (1, 1, 1920)
