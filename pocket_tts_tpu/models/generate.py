@@ -26,6 +26,15 @@ from pocket_tts_tpu.models.flow_lm import FlowLMModel
 from pocket_tts_tpu.models.mimi import MimiModel
 
 
+def decode_mimi_frame(flow_params, mimi_params, mimi, latent, mimi_state):
+    """Denormalize a FlowLM latent and vocode one frame [B, frame] (shared by
+    the fused segment step, warmup, and the serving engine)."""
+    mimi_in = (latent * flow_params["emb_std"] + flow_params["emb_mean"])[:, :, None]
+    quantized = mimi.quantize(mimi_params, mimi_in)
+    frame, mimi_state = mimi.decode_from_latent(mimi_params, quantized, mimi_state)
+    return frame[:, 0, :], mimi_state
+
+
 def initial_carry(flow_lm: FlowLMModel, batch: int, frames_after_eos, max_gen) -> dict:
     """Fresh decode carry for a batch: BOS flags, EOS sentinels, step counters.
 
@@ -81,9 +90,9 @@ def make_segment_fn(
             eos_step = jnp.where(is_eos, jnp.minimum(c["eos_step"], c["step"]), c["eos_step"])
             emit = (c["step"] < eos_step + c["frames_after_eos"]) & (c["step"] < c["max_gen"])
 
-            mimi_in = (next_latent * flow_params["emb_std"] + flow_params["emb_mean"])[:, :, None]
-            quantized = mimi.quantize(mimi_params, mimi_in)
-            frame, mimi_state = mimi.decode_from_latent(mimi_params, quantized, mimi_state)
+            frame, mimi_state = decode_mimi_frame(
+                flow_params, mimi_params, mimi, next_latent, mimi_state
+            )
 
             new_c = {
                 "latent": next_latent,
@@ -94,7 +103,7 @@ def make_segment_fn(
                 "frames_after_eos": c["frames_after_eos"],
                 "max_gen": c["max_gen"],
             }
-            return (flow_state, mimi_state, new_c), (frame[:, 0, :], emit)
+            return (flow_state, mimi_state, new_c), (frame, emit)
 
         (flow_state, mimi_state, carry), (audio, emit) = jax.lax.scan(
             step, (flow_state, mimi_state, carry), None, length=segment_frames,

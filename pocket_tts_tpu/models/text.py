@@ -187,10 +187,13 @@ def split_into_best_sentences(tokenizer: Tokenizer, text_to_generate: str, max_t
     return chunks
 
 
-def estimate_max_gen_len(token_count: int, frame_rate: float) -> int:
+def estimate_max_gen_len(
+    token_count: int,
+    frame_rate: float,
+    tokens_per_second: float = 3.0,
+    padding_seconds: float = 2.0,
+) -> int:
     """Upper bound on generated frames for a chunk
     (reference: pocket_tts_mlx/models/tts_model.py:440-444)."""
-    tokens_per_second = 3.0
-    padding_seconds = 2.0
     gen_len_sec = token_count / tokens_per_second + padding_seconds
     return math.ceil(gen_len_sec * frame_rate)

@@ -48,7 +48,7 @@ from pocket_tts_tpu.default_parameters import (
     MAX_TOKEN_PER_CHUNK,
 )
 from pocket_tts_tpu.models.flow_lm import FlowLMModel
-from pocket_tts_tpu.models.generate import initial_carry, make_segment_fn
+from pocket_tts_tpu.models.generate import decode_mimi_frame, initial_carry, make_segment_fn
 from pocket_tts_tpu.models.mimi import MimiModel
 from pocket_tts_tpu.models.text import (
     estimate_max_gen_len,
@@ -349,14 +349,9 @@ class TTSModel:
 
             def fn(params, latent, mimi_state):
                 with self._precision():
-                    x = (
-                        latent * params["flow_lm"]["emb_std"] + params["flow_lm"]["emb_mean"]
-                    )[:, :, None]
-                    quantized = mimi.quantize(params["mimi"], x)
-                    frame, mimi_state = mimi.decode_from_latent(
-                        params["mimi"], quantized, mimi_state
+                    return decode_mimi_frame(
+                        params["flow_lm"], params["mimi"], mimi, latent, mimi_state
                     )
-                    return frame[:, 0, :], mimi_state
 
             return jax.jit(fn)
 
@@ -449,8 +444,11 @@ class TTSModel:
                         audio = audio[..., :max_samples]
                         logger.info("Audio truncated to 30 seconds")
                 audio_conditioning = convert_audio(audio, sr, self.sample_rate, 1)
+            wav = np.asarray(audio_conditioning)
+            if wav.ndim == 1:  # raw [T] -> [C=1, T] (arrays are assumed 24 kHz mono)
+                wav = wav[None, :]
             with display_execution_time("Encoding audio prompt"):
-                prompt = self._encode_audio(np.asarray(audio_conditioning)[None, ...])
+                prompt = self._encode_audio(wav[None, ...])
                 prompt.block_until_ready()
 
         return self._state_from_prompt(prompt)
@@ -591,7 +589,13 @@ class TTSModel:
         token_lists = [self.tokenizer.encode(t) for t in texts]
         token_counts = [len(t) for t in token_lists]
         max_gen = [
-            estimate_max_gen_len(c, self.config.mimi.frame_rate) for c in token_counts
+            estimate_max_gen_len(
+                c,
+                self.config.mimi.frame_rate,
+                self._TOKENS_PER_SECOND_ESTIMATE,
+                self._GEN_SECONDS_PADDING,
+            )
+            for c in token_counts
         ]
         t_pad = _bucket(max(token_counts), 32)
         tokens = np.zeros((B, t_pad), dtype=np.int32)

@@ -72,13 +72,21 @@ class TimestepEmbedder:
 
 @dataclass(frozen=True)
 class ResBlock:
-    """AdaLN residual block: x + gate * MLP(modulate(LN(x), shift, scale))."""
+    """AdaLN residual block: x + gate * MLP(modulate(in_ln(x), shift, scale)).
+
+    in_ln is an *affine* LayerNorm whose weight/bias are trained checkpoint
+    parameters (reference: pocket_tts_mlx/modules/mlp.py:82 — contrast with
+    FinalLayer.norm_final, which is explicitly affine-free)."""
 
     channels: int
 
     def init_params(self, key: jax.Array, dtype=jnp.float32) -> Params:
         k0, k2, k_ada = jax.random.split(key, 3)
         return {
+            "in_ln": {
+                "weight": jnp.ones((self.channels,), dtype=dtype),
+                "bias": jnp.zeros((self.channels,), dtype=dtype),
+            },
             "mlp": [
                 _linear_params(k0, self.channels, self.channels, dtype),
                 {},
@@ -97,7 +105,8 @@ class ResBlock:
             params["adaLN_modulation"][1]["bias"],
         )
         shift, scale, gate = jnp.split(ada, 3, axis=-1)
-        h = modulate(layer_norm(x, eps=1e-6), shift, scale)
+        normed = layer_norm(x, params["in_ln"]["weight"], params["in_ln"]["bias"], eps=1e-6)
+        h = modulate(normed, shift, scale)
         h = linear(h, params["mlp"][0]["weight"], params["mlp"][0]["bias"])
         h = jax.nn.silu(h)
         h = linear(h, params["mlp"][2]["weight"], params["mlp"][2]["bias"])

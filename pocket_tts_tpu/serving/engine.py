@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pocket_tts_tpu.default_parameters import DEFAULT_SEGMENT_FRAMES, MAX_TOKEN_PER_CHUNK
-from pocket_tts_tpu.models.generate import make_segment_fn
+from pocket_tts_tpu.models.generate import initial_carry, make_segment_fn
 from pocket_tts_tpu.models.text import (
     estimate_max_gen_len,
     prepare_text_prompt,
@@ -113,15 +113,8 @@ class TTSEngine:
         B = slots
         self.flow_state = flow_lm.init_state(B, capacity, dtype=model.state_dtype)
         self.mimi_state = mimi.init_decode_state(B, kv_dtype=model.state_dtype)
-        self.carry = {
-            "latent": jnp.zeros((B, flow_lm.ldim), dtype=jnp.float32),
-            "is_bos": jnp.ones((B,), dtype=jnp.bool_),
-            "eos_step": jnp.full((B,), _EOS_NEVER, dtype=jnp.int32),
-            "step": jnp.zeros((B,), dtype=jnp.int32),
-            "tick": jnp.zeros((), dtype=jnp.int32),
-            "frames_after_eos": jnp.zeros((B,), dtype=jnp.int32),
-            "max_gen": jnp.zeros((B,), dtype=jnp.int32),  # 0 = inactive slot
-        }
+        # max_gen = 0 marks a slot inactive (emit is always masked off).
+        self.carry = initial_carry(flow_lm, B, [0] * B, [0] * B)
         self._written = 0  # host mirror of the batch-common write index
         self._pos = [0] * B  # host mirror of per-slot stream positions
         self._warm_mimi_row = None  # cached warmed-up B=1 mimi state
@@ -186,14 +179,37 @@ class TTSEngine:
         max_tokens = min(max_tokens, self.text_pad)
         chunks = split_into_best_sentences(self.model.tokenizer, text, max_tokens)
 
-        def chunk_spec(chunk_text: str):
+        def chunk_specs(chunk_text: str):
             _, guess = prepare_text_prompt(chunk_text)
             fae = frames_after_eos if frames_after_eos is not None else guess + 2
-            tokens = self.model.tokenizer.encode(chunk_text)[: self.text_pad]
-            max_gen = estimate_max_gen_len(len(tokens), self.model.config.mimi.frame_rate)
-            return (fae, max_gen, tokens)
+            tokens = self.model.tokenizer.encode(chunk_text)
+            # A single sentence can exceed the prefill width (the splitter
+            # never cuts inside a sentence): hard-split its token list rather
+            # than silently truncating it.
+            for start in range(0, len(tokens), self.text_pad):
+                part = tokens[start : start + self.text_pad]
+                max_gen = estimate_max_gen_len(
+                    len(part),
+                    self.model.config.mimi.frame_rate,
+                    self.model._TOKENS_PER_SECOND_ESTIMATE,
+                    self.model._GEN_SECONDS_PADDING,
+                )
+                yield (fae, max_gen, part)
 
-        specs = [chunk_spec(c) for c in chunks]
+        specs = [spec for c in chunks for spec in chunk_specs(c)]
+
+        # Every chunk restarts from the voice prompt: the slot needs room for
+        # voice writes + one prefill + the longest chunk's generated frames.
+        worst = max(
+            voice_state.written + self.text_pad + max_gen + 2 * self.segment_frames
+            for _, max_gen, _ in specs
+        )
+        if worst > self.capacity:
+            raise ValueError(
+                f"request needs ~{worst} KV slots but engine capacity is "
+                f"{self.capacity}; raise TTSEngine(capacity=...) or shorten the "
+                "voice prompt"
+            )
         with self._lock:
             handle = RequestHandle(self._next_id, text)
             self._next_id += 1
@@ -263,15 +279,18 @@ class TTSEngine:
 
     def _expanded_voice(self, voice_state: ModelState):
         """Voice tree padded to engine capacity (cached: expansion is ~15
-        eager ops, and voices are reused across many requests)."""
+        eager ops, and voices are reused across many requests). The cache
+        entry holds a strong reference to the ModelState so its id() cannot
+        be recycled onto a different voice."""
         key = id(voice_state)
         hit = self._voice_cache.get(key)
-        if hit is None:
-            hit = self.model.flow_lm.expand_state(voice_state.tree, self.capacity)
+        if hit is None or hit[0] is not voice_state:
+            tree = self.model.flow_lm.expand_state(voice_state.tree, self.capacity)
             if len(self._voice_cache) >= 16:
                 self._voice_cache.pop(next(iter(self._voice_cache)))
+            hit = (voice_state, tree)
             self._voice_cache[key] = hit
-        return hit
+        return hit[1]
 
     def _admit(self, b: int, handle, voice_state: ModelState, fae: int, max_gen: int, tokens):
         flow_lm, mimi, model = self.model.flow_lm, self.model.mimi, self.model
@@ -369,16 +388,26 @@ class TTSEngine:
 
     # ------------------------------------------------------------ main loop
 
-    def _admit_pending(self) -> bool:
-        """Move queued requests into free slots; returns True if any admitted."""
+    def _admit_pending(self, block_seconds: float = 0.0) -> bool:
+        """Move queued requests into free slots; returns True if any admitted.
+
+        With block_seconds > 0 the first fetch blocks briefly — used by the
+        run loop when fully idle so it doesn't busy-spin a CPU core.
+        """
         admitted = []
+        first = True
         for b, slot in enumerate(self._slots):
             if slot.active:
                 continue
             try:
-                handle, voice, fae, max_gen, tokens = self._pending.get_nowait()
+                if first and block_seconds > 0:
+                    item = self._pending.get(timeout=block_seconds)
+                else:
+                    item = self._pending.get_nowait()
             except queue.Empty:
                 break
+            first = False
+            handle, voice, fae, max_gen, tokens = item
             toks = self._admit(b, handle, voice, fae, max_gen, tokens)
             admitted.append((b, toks))
         if admitted:
@@ -487,7 +516,8 @@ class TTSEngine:
         in_flight = None
         idle_ticks = 0
         while True:
-            self._admit_pending()
+            fully_idle = in_flight is None and not any(s.active for s in self._slots)
+            self._admit_pending(block_seconds=0.05 if fully_idle else 0.0)
             any_active = any(s.active for s in self._slots)
             dispatched = self._dispatch_segment() if any_active else None
             if in_flight is not None:

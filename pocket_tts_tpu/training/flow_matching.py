@@ -9,8 +9,12 @@ dp x tp sharding of the full forward+backward+optimizer step.
 Objective: teacher-forced backbone conditioning c_i for each latent frame i
 (causal transformer over [text ⊕ BOS-shifted latents]), then
     x_tau = (1 - tau) * eps + tau * z_i,   eps ~ N(0, I), tau ~ U(0, 1)
-    L = ||v(x_tau; tau, c_i) - (z_i - eps)||^2  (+ BCE on the EOS head)
-which matches the Euler integration used at inference
+    t ~ U(tau, 1)
+    L = ||v(x_tau; s=tau, t=t, c_i) - (z_i - eps)||^2  (+ BCE on the EOS head)
+On the straight conditional path the average velocity over ANY interval
+[tau, t] equals z - eps, so supervising random (s, t) intervals with that
+constant target covers exactly the endpoint pairs the inference solver
+queries — lsd_decode evaluates v at (i/n, (i+1)/n)
 (ops/sampling.lsd_decode; reference solver: pocket_tts_mlx/models/flow_lm.py:18-28).
 """
 
@@ -64,8 +68,12 @@ def flow_matching_loss(
     text_emb = flow_lm.embed_text(params, tokens)
     cond = _backbone_conditioning(flow_lm, params, text_emb, latents)  # [B, Tl, dim]
 
-    k_tau, k_eps = jax.random.split(rng)
+    k_tau, k_t, k_eps = jax.random.split(rng, 3)
     tau = jax.random.uniform(k_tau, (B, Tl, 1), dtype=jnp.float32)
+    # Interval end t ~ U(tau, 1): matches the (s, t) endpoint pairs queried by
+    # the inference solver; the straight-path average velocity over [tau, t]
+    # is (z - eps) regardless of t.
+    t_end = tau + (1.0 - tau) * jax.random.uniform(k_t, (B, Tl, 1), dtype=jnp.float32)
     eps = jax.random.normal(k_eps, (B, Tl, ldim), dtype=jnp.float32)
     z = latents.astype(jnp.float32)
     x_tau = (1.0 - tau) * eps + tau * z
@@ -76,7 +84,7 @@ def flow_matching_loss(
         params["flow_net"],
         flat(cond),
         flat(tau),
-        flat(tau),
+        flat(t_end),
         flat(x_tau),
     ).reshape(B, Tl, ldim)
 

@@ -151,3 +151,22 @@ def test_save_checkpoint_roundtrip(models, tmp_path):
         assert len(ours) == len(theirs)
         for a, b in zip(ours, theirs):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resblock_in_ln_weights_load(models):
+    """The checkpoint's affine in_ln LayerNorm params must land (the reference
+    ResBlock declares an affine LayerNorm, mlp.py:82); silently skipping them
+    would change the flow head's function."""
+    flow_lm, _, params = models
+    dim = flow_lm.config.flow.dim
+    w = RNG.standard_normal(dim).astype(np.float32)
+    b = RNG.standard_normal(dim).astype(np.float32)
+    flat = {
+        "flow_lm.flow_net.res_blocks.0.in_ln.weight": w,
+        "flow_lm.flow_net.res_blocks.0.in_ln.bias": b,
+    }
+    loaded, skipped = load_state_dict(params, flat)
+    assert loaded == 2 and skipped == 0
+    np.testing.assert_array_equal(
+        np.asarray(params["flow_lm"]["flow_net"]["res_blocks"][0]["in_ln"]["weight"]), w
+    )

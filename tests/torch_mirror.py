@@ -154,7 +154,8 @@ def adaln_mlp(params_np, c, s, t, x):
     for blk in params_np["res_blocks"]:
         ada = silu(y) @ blk["adaLN_modulation"][1]["weight"].T + blk["adaLN_modulation"][1]["bias"]
         shift, scale, gate = np.split(ada, 3, axis=-1)
-        h = layer_norm(x, eps=1e-6) * (1 + scale) + shift
+        normed = layer_norm(x, blk["in_ln"]["weight"], blk["in_ln"]["bias"], eps=1e-6)
+        h = normed * (1 + scale) + shift
         h = h @ blk["mlp"][0]["weight"].T + blk["mlp"][0]["bias"]
         h = silu(h)
         h = h @ blk["mlp"][2]["weight"].T + blk["mlp"][2]["bias"]
