@@ -59,6 +59,12 @@ class RequestHandle:
     # (tts_model.py:346-361, :372-373).
     _chunks: list = field(default_factory=list)
     _voice: Optional[ModelState] = None
+    _cancelled: threading.Event = field(default_factory=threading.Event)
+
+    def cancel(self) -> None:
+        """Stop decoding this request (e.g. the client disconnected). Frames
+        already queued remain readable; the stream ends at the next tick."""
+        self._cancelled.set()
 
     def frames(self):
         """Yield 1920-sample float32 frames until the utterance completes."""
@@ -145,6 +151,11 @@ class TTSEngine:
         # device->host audio bytes per tick (the server writes PCM16 anyway).
         self._to_pcm16 = jax.jit(
             lambda a: (jnp.clip(a, -1.0, 1.0) * 32767.0).astype(jnp.int16)
+        )
+        self._silence_lane = jax.jit(
+            lambda c, b: {**c, "max_gen": jax.lax.dynamic_update_slice(
+                c["max_gen"], jnp.zeros((1,), c["max_gen"].dtype), (b,)
+            )}
         )
         self._snapshot = jax.jit(
             lambda c: (
@@ -474,6 +485,19 @@ class TTSEngine:
                     handle._queue.put(audio_np[b, s])
             if epoch in self._retired_epochs:
                 continue  # stale segment of an already-retired admission
+            if handle._cancelled.is_set():
+                self._retired_epochs.add(epoch)
+                handle._chunks.clear()
+                if not handle.done:
+                    handle._queue.put(None)
+                    handle._done.set()
+                slot = self._slots[b]
+                if slot.epoch == epoch:
+                    slot.active = False
+                    slot.handle = None
+                    # silence the lane so the still-running decode emits nothing
+                    self.carry = self._silence_lane(self.carry, jnp.int32(b))
+                continue
             # Done when the reference loop would have exited
             # (step >= eos_step + frames_after_eos, capped by max_gen).
             steps_target = min(int(eos_step[b]) + int(fae_np[b]), int(max_gen_np[b]))

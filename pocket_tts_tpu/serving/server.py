@@ -75,11 +75,14 @@ def make_handler(model: TTSModel, engine: TTSEngine):
 
             out = _Chunked(self.wfile)
             writer = StreamingWAVWriter(out, model.sample_rate)
-            writer.write_header(model.sample_rate)
-            for frame in handle.frames():
-                writer.write_pcm_data(frame)
-            writer.finalize()
-            self.wfile.write(b"0\r\n\r\n")
+            try:
+                writer.write_header(model.sample_rate)
+                for frame in handle.frames():
+                    writer.write_pcm_data(frame)
+                writer.finalize()
+                self.wfile.write(b"0\r\n\r\n")
+            except (BrokenPipeError, ConnectionResetError):
+                handle.cancel()  # stop decoding for a vanished client
 
         def log_message(self, fmt, *args):
             logger.info("http: " + fmt, *args)

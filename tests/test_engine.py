@@ -133,3 +133,22 @@ def test_engine_long_text_chunks(model, voice):
         for c in ["One two three four five six.", "Seven eight nine ten eleven twelve."]
     )
     assert audio.shape[0] == expected * 1920
+
+
+def test_engine_cancellation(model, voice):
+    """Cancelling a request frees its slot and ends the stream; other
+    requests are unaffected."""
+    engine = TTSEngine(model, slots=1, segment_frames=2, capacity=512, text_pad=32)
+    h1 = engine.submit("A very long sentence with many many words to speak.", voice,
+                       frames_after_eos=2)
+    for _ in range(2):
+        engine.step()
+    h1.cancel()
+    h2 = engine.submit("Short follow up here.", voice, frames_after_eos=2)
+    engine.run(stop_when_idle=True)
+    a1, a2 = h1.audio(), h2.audio()
+    assert h1.done and h2.done
+    # cancelled stream stopped early
+    assert a1.shape[0] < _expected_frames(model, "A very long sentence with many many words to speak.") * 1920
+    # follow-up rendered in full through the freed slot
+    assert a2.shape[0] == _expected_frames(model, "Short follow up here.") * 1920
