@@ -660,7 +660,13 @@ class TTSModel:
         # overlap instead of a round-trip sync per segment. Dispatching past
         # EOS wastes at most lookahead*segment_frames masked frames; the
         # position correction below rewinds the state either way.
-        lookahead = 2
+        #
+        # Bulk mode dispatches the ENTIRE schedule before the single fetch:
+        # the caller collects everything anyway, and the max_gen bound is
+        # tight (~2 s of padding), so skipping the per-segment early-stop
+        # round-trips costs a little masked compute and saves one host sync
+        # per segment.
+        lookahead = 10**9 if bulk else 2
         sched = schedule_iter()
         in_flight: list = []
         dispatched = 0
@@ -683,13 +689,23 @@ class TTSModel:
                 dispatched += seg
             if not in_flight:
                 break
-            seg, audio, emit, all_done = in_flight.pop(0)
-            audio_np, emit_np, done = jax.device_get((audio, emit, all_done))
-            for s in range(seg):
-                if not emit_np[:, s].any():
-                    continue
-                total_emitted_samples += int(emit_np[:, s].sum()) * audio_np.shape[-1]
-                yield audio_np[:, s, :], emit_np[:, s]
+            if bulk:
+                # One transfer for the whole utterance.
+                fetched = jax.device_get([(a, e) for _, a, e, _ in in_flight])
+                segs = [seg for seg, *_ in in_flight]
+                in_flight = []
+                done = True
+            else:
+                seg, audio, emit, all_done = in_flight.pop(0)
+                audio_np, emit_np, done = jax.device_get((audio, emit, all_done))
+                fetched = [(audio_np, emit_np)]
+                segs = [seg]
+            for seg, (audio_np, emit_np) in zip(segs, fetched):
+                for s in range(seg):
+                    if not emit_np[:, s].any():
+                        continue
+                    total_emitted_samples += int(emit_np[:, s].sum()) * audio_np.shape[-1]
+                    yield audio_np[:, s, :], emit_np[:, s]
             if bool(done):
                 break
 
