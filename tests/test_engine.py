@@ -152,3 +152,37 @@ def test_engine_cancellation(model, voice):
     assert a1.shape[0] < _expected_frames(model, "A very long sentence with many many words to speak.") * 1920
     # follow-up rendered in full through the freed slot
     assert a2.shape[0] == _expected_frames(model, "Short follow up here.") * 1920
+
+
+def test_engine_randomized_churn(model):
+    """Stress: 10 requests with mixed voices/lengths over 3 slots, staggered
+    submission; every handle must complete with exactly its expected frames."""
+    rng = np.random.default_rng(99)
+    voices = [
+        model._state_from_prompt(
+            jnp.array(rng.standard_normal((1, n, model.flow_lm.dim)).astype(np.float32))
+        )
+        for n in (6, 14, 25)
+    ]
+    engine = TTSEngine(model, slots=3, segment_frames=4, capacity=512, text_pad=32)
+
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf", "hotel"]
+    requests = []
+    for i in range(10):
+        n_words = int(rng.integers(3, 9))
+        text = " ".join(rng.choice(words, n_words)) + "."
+        requests.append((text, voices[i % len(voices)]))
+
+    handles = []
+    for i, (text, voice) in enumerate(requests):
+        handles.append(engine.submit(text, voice, frames_after_eos=2))
+        if i % 3 == 2:  # stagger: let the engine chew between submissions
+            for _ in range(2):
+                engine.step()
+    engine.run(stop_when_idle=True)
+
+    for (text, _), handle in zip(requests, handles):
+        audio = handle.audio()
+        assert handle.done
+        assert audio.shape[0] == _expected_frames(model, text) * 1920, text
+        assert np.isfinite(audio).all()
