@@ -1,0 +1,58 @@
+"""Throughput sweep: aggregate RTF vs batch size (bulk API).
+
+Usage: python benchmarks/sweep.py [batch sizes...]
+Writes one line per configuration; see BENCHMARKS.md for recorded results.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+os.environ.setdefault("POCKET_TTS_OFFLINE", "1")
+
+import logging
+
+import jax
+import jax.numpy as jnp
+
+logging.basicConfig(level=logging.WARNING)
+
+TEXT = (
+    "The quick brown fox jumps over the lazy dog while seventy six trombones "
+    "led the big parade down the long and winding road toward the harbor."
+)
+SAMPLE_RATE = 24_000
+
+
+def main() -> None:
+    from pocket_tts_tpu.models.tts_model import TTSModel, enable_compilation_cache, stack_states
+
+    enable_compilation_cache()
+    batches = [int(a) for a in sys.argv[1:]] or [1, 8, 16, 32, 64]
+
+    model = TTSModel.load_model(eos_threshold=1e9, param_dtype="bfloat16")
+    prompt = (
+        jax.random.normal(jax.random.PRNGKey(0), (1, 125, model.flow_lm.dim), jnp.float32) * 0.02
+    )
+    voice = model._state_from_prompt(prompt)
+
+    print(f"platform={jax.devices()[0].platform} dtype=bfloat16 text_tokens~{len(model.tokenizer.encode(TEXT))}")
+    for batch in batches:
+        stacked = stack_states(model.flow_lm, [voice] * batch) if batch > 1 else voice
+        texts = [TEXT] * batch
+        _ = model.generate_audio_batch(stacked, texts, frames_after_eos=2)  # compile/warm
+        t0 = time.monotonic()
+        outs = model.generate_audio_batch(stacked, texts, frames_after_eos=2)
+        wall = time.monotonic() - t0
+        total_sec = sum(o.shape[0] for o in outs) / SAMPLE_RATE
+        print(
+            f"batch={batch:3d}  aggregate_rtf={total_sec / wall:7.1f}x  "
+            f"per_stream={total_sec / wall / batch:6.2f}x  wall={wall:.2f}s",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
