@@ -173,3 +173,33 @@ def test_continuation_context_matters(model, voice):
         assert np.abs(b_continued_1 - b_fresh).max() > 1e-6  # context changed the audio
     finally:
         model.temp = old_temp
+
+
+def test_api_surface(model, voice):
+    """Reference API-surface odds and ends."""
+    # device property (reference tts_model.py:79-81)
+    assert model.device in ("cpu", "tpu", "gpu")
+    assert model.sample_rate == 24000
+    assert model.frame_size == 1920
+    # size_of_dict alias (reference utils.py:15-25)
+    from pocket_tts_tpu.utils.timing import size_of_dict
+    assert size_of_dict(voice.tree) == voice.size_bytes() > 0
+    # package exports
+    import pocket_tts_tpu
+    assert hasattr(pocket_tts_tpu, "TTSModel") and pocket_tts_tpu.__version__
+
+
+def test_cached_voice_state(model):
+    """_cached_get_state_for_audio_prompt keeps a 2-entry cache
+    (reference tts_model.py:478-482)."""
+    model.random_init = True  # offline: use synthetic prompts for names
+    try:
+        s1 = model._cached_get_state_for_audio_prompt("alba")
+        s1_again = model._cached_get_state_for_audio_prompt("alba")
+        assert s1 is s1_again
+        model._cached_get_state_for_audio_prompt("marius")
+        model._cached_get_state_for_audio_prompt("javert")  # evicts alba
+        s1_new = model._cached_get_state_for_audio_prompt("alba")
+        assert s1_new is not s1
+    finally:
+        model.random_init = False
