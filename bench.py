@@ -71,13 +71,13 @@ def bench_single_stream(model, voice, runs: int = 5) -> dict:
         walls.append(time.monotonic() - t0)
         audio_sec = audio.shape[0] / SAMPLE_RATE
     walls.sort()
-    # The relay between host and chip adds heavy-tailed one-sided latency
-    # noise; best-of-N isolates the machine's capability, median reported too.
+    # Median is the honest headline (the relay adds heavy-tailed one-sided
+    # latency noise); the best run is reported alongside as the capability.
     return {
-        "rtf": audio_sec / walls[0],
-        "rtf_median": audio_sec / walls[len(walls) // 2],
+        "rtf": audio_sec / walls[len(walls) // 2],
+        "rtf_best": audio_sec / walls[0],
         "audio_sec": audio_sec,
-        "wall_sec": walls[0],
+        "wall_sec": walls[len(walls) // 2],
     }
 
 
@@ -162,7 +162,7 @@ def main() -> None:
             "batch64_realtime_streams": round(batch["realtime_streams"], 1),
             "engine64_aggregate_rtf": round(engine["aggregate_rtf"], 1),
             "single_audio_sec": round(single["audio_sec"], 2),
-            "single_stream_rtf_median": round(single["rtf_median"], 2),
+            "single_stream_rtf_best": round(single["rtf_best"], 2),
             "targets": {"single_stream_rtf": 30.0, "streams": 64, "ttfa_p50_ms": 250.0},
         },
     }

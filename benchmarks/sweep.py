@@ -17,28 +17,20 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import logging
 
 import jax
-import jax.numpy as jnp
 
 logging.basicConfig(level=logging.WARNING)
 
-TEXT = (
-    "The quick brown fox jumps over the lazy dog while seventy six trombones "
-    "led the big parade down the long and winding road toward the harbor."
-)
-SAMPLE_RATE = 24_000
+from bench import SAMPLE_RATE, TEXT, _build_model, _make_voice  # noqa: E402
 
 
 def main() -> None:
-    from pocket_tts_tpu.models.tts_model import TTSModel, enable_compilation_cache, stack_states
+    from pocket_tts_tpu.models.tts_model import enable_compilation_cache, stack_states
 
     enable_compilation_cache()
     batches = [int(a) for a in sys.argv[1:]] or [1, 8, 16, 32, 64]
 
-    model = TTSModel.load_model(eos_threshold=1e9, param_dtype="bfloat16")
-    prompt = (
-        jax.random.normal(jax.random.PRNGKey(0), (1, 125, model.flow_lm.dim), jnp.float32) * 0.02
-    )
-    voice = model._state_from_prompt(prompt)
+    model = _build_model()
+    voice = _make_voice(model)
 
     print(f"platform={jax.devices()[0].platform} dtype=bfloat16 text_tokens~{len(model.tokenizer.encode(TEXT))}")
     for batch in batches:

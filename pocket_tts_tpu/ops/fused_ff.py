@@ -14,11 +14,19 @@ from __future__ import annotations
 
 import functools
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
+
+
+def fused_ff_enabled() -> bool:
+    """Route transformer feed-forwards through the fused Pallas kernel.
+    Measured slower than XLA's own fusion at decode shapes (BENCHMARKS.md);
+    kept for experimentation. Read at trace time; default off."""
+    return os.environ.get("POCKET_TTS_FUSED_FF", "0") not in ("0", "", "false")
 
 
 def _erf(x: jnp.ndarray) -> jnp.ndarray:
@@ -81,6 +89,8 @@ def fused_ff(
     """x + linear2(gelu(linear1(layer_norm(x)))) -> [B, E] in x's dtype."""
     B, E = x.shape
     F = w1.shape[0]
+    # Compiled Mosaic needs a TPU; everywhere else run the interpreter.
+    interpret = interpret or jax.default_backend() != "tpu"
 
     # Hidden block: keep the two weight slices within ~4 MB of VMEM.
     bytes_per_f = E * (w1.dtype.itemsize + w2.dtype.itemsize)

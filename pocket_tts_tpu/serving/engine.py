@@ -419,12 +419,25 @@ class TTSEngine:
                 break
             first = False
             handle, voice, fae, max_gen, tokens = item
+            if handle._cancelled.is_set():
+                # Client gave up while queued: finish the handle for free.
+                handle._chunks.clear()
+                if not handle.done:
+                    handle._queue.put(None)
+                    handle._done.set()
+                continue
             toks = self._admit(b, handle, voice, fae, max_gen, tokens)
             admitted.append((b, toks))
         if admitted:
             self._maybe_compact()
             self._prefill_admitted(admitted)
         return bool(admitted)
+
+    def _retire_epoch(self, epoch: int) -> None:
+        self._retired_epochs.add(epoch)
+        if len(self._retired_epochs) > 4 * self.num_slots:
+            horizon = self._epoch_counter - 2 * self.num_slots
+            self._retired_epochs = {e for e in self._retired_epochs if e > horizon}
 
     def _dispatch_segment(self):
         """Enqueue one decode segment on the device; returns delivery handles.
@@ -480,13 +493,14 @@ class TTSEngine:
             if entry is None:
                 continue
             handle, epoch = entry
-            for s in range(self.segment_frames):
-                if emit_np[b, s]:
-                    handle._queue.put(audio_np[b, s])
             if epoch in self._retired_epochs:
-                continue  # stale segment of an already-retired admission
+                # Stale segment of an already-retired admission: for normal
+                # completion its emit mask is False anyway; for cancellation
+                # it may carry real frames that must NOT land after the None
+                # terminator — drop the segment entirely.
+                continue
             if handle._cancelled.is_set():
-                self._retired_epochs.add(epoch)
+                self._retire_epoch(epoch)
                 handle._chunks.clear()
                 if not handle.done:
                     handle._queue.put(None)
@@ -498,14 +512,14 @@ class TTSEngine:
                     # silence the lane so the still-running decode emits nothing
                     self.carry = self._silence_lane(self.carry, jnp.int32(b))
                 continue
+            for s in range(self.segment_frames):
+                if emit_np[b, s]:
+                    handle._queue.put(audio_np[b, s])
             # Done when the reference loop would have exited
             # (step >= eos_step + frames_after_eos, capped by max_gen).
             steps_target = min(int(eos_step[b]) + int(fae_np[b]), int(max_gen_np[b]))
             if int(step[b]) >= steps_target:
-                self._retired_epochs.add(epoch)
-                if len(self._retired_epochs) > 4 * self.num_slots:
-                    horizon = self._epoch_counter - 2 * self.num_slots
-                    self._retired_epochs = {e for e in self._retired_epochs if e > horizon}
+                self._retire_epoch(epoch)
                 if handle._chunks:
                     # More sentence chunks: requeue the next one (it restarts
                     # from the voice state, like the direct API's per-chunk

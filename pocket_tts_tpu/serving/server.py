@@ -81,7 +81,7 @@ def make_handler(model: TTSModel, engine: TTSEngine):
                     writer.write_pcm_data(frame)
                 writer.finalize()
                 self.wfile.write(b"0\r\n\r\n")
-            except (BrokenPipeError, ConnectionResetError):
+            except ConnectionError:
                 handle.cancel()  # stop decoding for a vanished client
 
         def log_message(self, fmt, *args):

@@ -186,3 +186,28 @@ def test_engine_randomized_churn(model):
         assert handle.done
         assert audio.shape[0] == _expected_frames(model, text) * 1920, text
         assert np.isfinite(audio).all()
+
+
+def test_engine_cancel_no_frames_after_terminator(model, voice):
+    """Frames from stale in-flight segments must never land after the None
+    terminator of a cancelled request (pipelined delivery ordering)."""
+    engine = TTSEngine(model, slots=1, segment_frames=2, capacity=512, text_pad=32)
+    h = engine.submit("A very long sentence with many many words to speak.", voice,
+                      frames_after_eos=2)
+    for _ in range(2):
+        engine.step()
+    h.cancel()
+    engine.run(stop_when_idle=True)
+    _ = h.audio()  # drains to the terminator
+    assert h._queue.empty()  # nothing leaked behind the None
+
+
+def test_engine_cancel_while_queued(model, voice):
+    """A request cancelled before admission is finished for free."""
+    engine = TTSEngine(model, slots=1, segment_frames=2, capacity=512, text_pad=32)
+    h1 = engine.submit("First active request with several words.", voice, frames_after_eos=2)
+    h2 = engine.submit("Queued request that gets cancelled.", voice, frames_after_eos=2)
+    h2.cancel()
+    engine.run(stop_when_idle=True)
+    assert h1.audio().shape[0] > 0
+    assert h2.done and h2.audio().shape[0] == 0
