@@ -203,3 +203,33 @@ def test_cached_voice_state(model):
         assert s1_new is not s1
     finally:
         model.random_init = False
+
+
+def test_extreme_chunking_max_tokens_one(model, voice):
+    """max_tokens=1 forces per-sentence chunks; everything still renders."""
+    model._rng = jax.random.PRNGKey(21)
+    audio = model.generate_audio(voice, "One two. Three four.", max_tokens=1,
+                                 frames_after_eos=2)
+    assert audio.shape[0] % 1920 == 0 and audio.shape[0] > 0
+
+
+def test_minimal_voice_prompt(model):
+    """A single-frame voice prompt must prefill and generate."""
+    prompt = jnp.array(RNG.standard_normal((1, 1, model.flow_lm.dim)).astype(np.float32))
+    state = model._state_from_prompt(prompt)
+    assert state.pos == [1]
+    audio = model.generate_audio(state, "Tiny prompt check here.", frames_after_eos=2)
+    assert audio.shape[0] > 0
+
+
+def test_capacity_growth_across_continuations(model, voice):
+    """copy_state=False across several calls keeps expanding the cache."""
+    work = ModelState(voice.tree, voice.pos, voice.written)
+    cap0 = model.flow_lm.state_capacity(work.tree)
+    for i in range(3):
+        model.generate_audio(work, f"Continuation number {i} with words.",
+                             frames_after_eos=2, copy_state=False)
+    assert work.pos[0] > voice.pos[0]
+    assert model.flow_lm.state_capacity(work.tree) >= cap0
+    # positions never exceed the written mirror
+    assert work.pos[0] <= work.written
