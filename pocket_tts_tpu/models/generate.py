@@ -1,15 +1,19 @@
 """The fused generate step: FlowLM decode + EOS bookkeeping + Mimi vocoder.
 
-This is the hot path of the whole framework — one pure function stepped by
-`lax.scan` for S frames. Everything the reference does per frame in Python
-with a device sync (reference: pocket_tts_mlx/models/tts_model.py:402-428)
-happens here on-device:
+This is the hot path of the whole framework — one pure function per segment.
+Everything the reference does per frame in Python with a device sync
+(reference: pocket_tts_mlx/models/tts_model.py:402-428) happens here
+on-device, split into the two phases that actually have different data
+dependencies:
 
-    FlowLM transformer step (KV cache append)       flow_lm.decode_step
-    EOS logit test + eos_step/frames_after_eos      carry updates
-    noise draw + flow-matching ODE                  ops/sampling
-    latent denorm + 1x1 quantizer projection        mimi.quantize
-    upsample + codec transformer + SEANet vocoder   mimi.decode_from_latent
+  1. `lax.scan` over S autoregressive FlowLM steps (KV append, EOS logit
+     test + eos_step/frames_after_eos carry updates, noise draw,
+     flow-matching ODE) — only the 32-d latent feeds back frame-to-frame.
+  2. ONE bulk Mimi vocode of all S latents (denorm + 1x1 quantizer
+     projection + upsample + windowed codec transformer + SEANet) — the
+     vocoder is streaming but not autoregressive, so it runs at 16*S codec
+     positions per dispatch where its convs/matmuls tile onto the MXU,
+     instead of 16 positions per frame inside the scan.
 
 Shared by TTSModel (single-chip serving), the multi-chip dryrun, and the
 benchmark harness.
@@ -26,13 +30,31 @@ from pocket_tts_tpu.models.flow_lm import FlowLMModel
 from pocket_tts_tpu.models.mimi import MimiModel
 
 
-def decode_mimi_frame(flow_params, mimi_params, mimi, latent, mimi_state):
-    """Denormalize a FlowLM latent and vocode one frame [B, frame] (shared by
-    the fused segment step, warmup, and the serving engine)."""
-    mimi_in = (latent * flow_params["emb_std"] + flow_params["emb_mean"])[:, :, None]
+def decode_mimi_chunk(flow_params, mimi_params, mimi, latents, mimi_state):
+    """Denormalize S FlowLM latents [B, S, ldim] and vocode them in one
+    streaming chunk -> (audio [B, S, frame], new mimi state).
+
+    Vocoding a whole segment at once (instead of per frame inside the decode
+    scan) gives the codec transformer and SEANet convs 16*S positions per
+    dispatch — the convs/matmuls tile onto the MXU instead of running at
+    T=16 — and is numerically identical to frame-by-frame decode by the
+    streaming chunk-invariance property (tests/test_mimi.py, tests/test_conv.py)."""
+    B, S, _ = latents.shape
+    mimi_in = jnp.transpose(
+        latents * flow_params["emb_std"] + flow_params["emb_mean"], (0, 2, 1)
+    )
     quantized = mimi.quantize(mimi_params, mimi_in)
-    frame, mimi_state = mimi.decode_from_latent(mimi_params, quantized, mimi_state)
-    return frame[:, 0, :], mimi_state
+    wav, mimi_state = mimi.decode_from_latent(mimi_params, quantized, mimi_state)
+    return wav.reshape(B, S, wav.shape[-1] // S), mimi_state
+
+
+def decode_mimi_frame(flow_params, mimi_params, mimi, latent, mimi_state):
+    """Single-frame vocode [B, ldim] -> [B, frame] (warmup and the per-frame
+    serving paths)."""
+    audio, mimi_state = decode_mimi_chunk(
+        flow_params, mimi_params, mimi, latent[:, None, :], mimi_state
+    )
+    return audio[:, 0, :], mimi_state
 
 
 def initial_carry(flow_lm: FlowLMModel, batch: int, frames_after_eos, max_gen) -> dict:
@@ -73,8 +95,10 @@ def make_segment_fn(
         flow_params = params["flow_lm"]
         mimi_params = params["mimi"]
 
+        # Phase 1: the autoregressive FlowLM scan. Only the latent feedback is
+        # sequential; the vocoder is not, so it stays OUT of the scan body.
         def step(loop_carry, _):
-            flow_state, mimi_state, c = loop_carry
+            flow_state, c = loop_carry
             rng_i = jax.random.fold_in(rng, c["tick"])
             flow_state, next_latent, is_eos = flow_lm.decode_step(
                 flow_params,
@@ -90,10 +114,6 @@ def make_segment_fn(
             eos_step = jnp.where(is_eos, jnp.minimum(c["eos_step"], c["step"]), c["eos_step"])
             emit = (c["step"] < eos_step + c["frames_after_eos"]) & (c["step"] < c["max_gen"])
 
-            frame, mimi_state = decode_mimi_frame(
-                flow_params, mimi_params, mimi, next_latent, mimi_state
-            )
-
             new_c = {
                 "latent": next_latent,
                 "is_bos": jnp.zeros_like(c["is_bos"]),
@@ -103,18 +123,25 @@ def make_segment_fn(
                 "frames_after_eos": c["frames_after_eos"],
                 "max_gen": c["max_gen"],
             }
-            return (flow_state, mimi_state, new_c), (frame, emit)
+            return (flow_state, new_c), (next_latent, emit)
 
-        (flow_state, mimi_state, carry), (audio, emit) = jax.lax.scan(
-            step, (flow_state, mimi_state, carry), None, length=segment_frames,
+        (flow_state, carry), (latents, emit) = jax.lax.scan(
+            step, (flow_state, carry), None, length=segment_frames,
             unroll=unroll,
         )
+
+        # Phase 2: vocode the whole segment in one streaming chunk (16*S codec
+        # positions per dispatch instead of 16).
+        latents = jnp.transpose(latents, (1, 0, 2))  # [S, B, ldim] -> [B, S, ldim]
+        audio, mimi_state = decode_mimi_chunk(
+            flow_params, mimi_params, mimi, latents, mimi_state
+        )
+
         steps_target = jnp.minimum(
             carry["eos_step"] + carry["frames_after_eos"] + 1, carry["max_gen"]
         )
         all_done = jnp.all(carry["step"] >= steps_target)
-        audio = jnp.transpose(audio, (1, 0, 2))  # [S, B, F] -> [B, S, F]
-        emit = jnp.transpose(emit, (1, 0))
+        emit = jnp.transpose(emit, (1, 0))  # [S, B] -> [B, S]
         return flow_state, mimi_state, carry, audio, emit, all_done
 
     return fn

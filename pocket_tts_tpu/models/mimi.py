@@ -167,15 +167,25 @@ class MimiModel:
             params["upsample"] = {"convtr": {"convtr": self.upsample.init_params(keys[5], dtype)}}
         return params
 
-    def init_decode_state(self, batch_size: int, kv_dtype=jnp.float32) -> State:
-        """Streaming state for the frame-by-frame decode path.
+    def init_decode_state(
+        self, batch_size: int, kv_dtype=jnp.float32, max_chunk_frames: int = 1
+    ) -> State:
+        """Streaming state for the chunked decode path.
 
         kv_dtype applies to the codec transformer's ring KV cache only; conv
         overlap buffers stay float32 — they add directly into the waveform.
+        max_chunk_frames sizes the transformer's shift-append ring: it must
+        retain a full attention window PLUS the largest chunk decoded in one
+        call (the fused segment step vocodes whole S-frame segments at once).
         """
+        chunk = max(1, max_chunk_frames) * (
+            self.downsample_stride if self.has_resample else 1
+        )
+        t = self.config.transformer
+        ring_capacity = ((t.context + chunk + 127) // 128 + 1) * 128
         state: State = {
             "decoder_transformer": self.decoder_transformer.init_state(
-                batch_size, dtype=kv_dtype
+                batch_size, capacity=ring_capacity, dtype=kv_dtype
             ),
             "decoder": self.decoder.init_state(batch_size, jnp.float32),
             "pos": jnp.zeros((batch_size,), dtype=jnp.int32),  # 200 Hz step count

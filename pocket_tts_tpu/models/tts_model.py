@@ -221,7 +221,10 @@ class TTSModel:
         )
         mimi = MimiModel(config=cfg.mimi)
 
-        serving_dtype = jnp.dtype(param_dtype)
+        # "int8" = bf16 serving mode + weight-only int8 quantization of the
+        # FlowLM decode hot path (see weights.quantize_int8).
+        quantize = param_dtype == "int8"
+        serving_dtype = jnp.bfloat16 if quantize else jnp.dtype(param_dtype)
         key = jax.random.PRNGKey(seed)
         k_flow, k_mimi = jax.random.split(key)
         # Always materialize/load in float32; serving dtypes are applied as a
@@ -252,6 +255,10 @@ class TTSModel:
         if serving_dtype != jnp.float32:
             model.params = cast_serving_dtype(model.params, serving_dtype)
             model.state_dtype = serving_dtype
+        if quantize:
+            from pocket_tts_tpu.models.weights import quantize_int8
+
+            model.params = quantize_int8(model.params)
         logger.info(
             "TTS Model loaded successfully. Size ~%d MB",
             size_of_pytree(model.params) // 1_000_000,
@@ -618,7 +625,11 @@ class TTSModel:
             capacity = self.flow_lm.state_capacity(tree)
 
         # Mimi decoder state + warmup (reference: tts_model.py:464-476).
-        mimi_state = self.mimi.init_decode_state(B, kv_dtype=self.state_dtype)
+        mimi_state = self.mimi.init_decode_state(
+            B,
+            kv_dtype=self.state_dtype,
+            max_chunk_frames=_BULK_SEGMENT_FRAMES if bulk else segment_frames,
+        )
         if warmup_frames > 0:
             frame_fn = self._mimi_frame_jit(B)
             zero_latent = jnp.zeros((B, self.flow_lm.ldim), dtype=jnp.float32)

@@ -118,6 +118,51 @@ def cast_serving_dtype(params: dict, dtype) -> dict:
     return jax.tree_util.tree_map_with_path(cast, params)
 
 
+def quantize_int8(params: dict, subtrees=("transformer", "input_linear")) -> dict:
+    """Weight-only int8 quantization of the FlowLM decode hot path.
+
+    Every 2-D float weight under params["flow_lm"][<subtree>] (the backbone's
+    in_proj/out_proj/linear1/linear2 and the latent input projection — the
+    tensors re-read from HBM on EVERY decode frame) is replaced by
+    {"q": int8 [out, in], "s": float32 [out]} with per-output-channel
+    symmetric scales; ops/linear.linear applies the scale to the f32
+    accumulator after the matmul, so the math equals a dequantized-weight
+    matmul while HBM weight traffic halves vs bf16. 1-D tensors (norms,
+    biases) and the precision-sensitive islands (flow head, out_norm,
+    out_eos; see cast_serving_dtype) are untouched, as are the conditioner
+    embedding (read only at prefill) and all of Mimi (read once per vocoded
+    segment, amortized over S frames).
+    """
+
+    def q(tree):
+        if isinstance(tree, dict):
+            out = {}
+            for k, leaf in tree.items():
+                if (
+                    k == "weight"
+                    and hasattr(leaf, "ndim")
+                    and leaf.ndim == 2
+                    and jnp.issubdtype(leaf.dtype, jnp.floating)
+                ):
+                    w = leaf.astype(jnp.float32)
+                    scale = jnp.maximum(jnp.max(jnp.abs(w), axis=1), 1e-12) / 127.0
+                    qw = jnp.clip(jnp.round(w / scale[:, None]), -127, 127).astype(jnp.int8)
+                    out[k] = {"q": qw, "s": scale}
+                else:
+                    out[k] = q(leaf)
+            return out
+        if isinstance(tree, (list, tuple)):
+            return type(tree)(q(x) for x in tree)
+        return tree
+
+    new_params = dict(params)
+    new_flow = dict(params["flow_lm"])
+    for name in subtrees:
+        new_flow[name] = q(new_flow[name])
+    new_params["flow_lm"] = new_flow
+    return new_params
+
+
 def load_state_dict(
     params: dict,
     flat: Dict[str, np.ndarray],
@@ -189,6 +234,11 @@ def save_checkpoint(params: dict, path, convtr_groups_lookup=None) -> int:
     from pocket_tts_tpu.utils.safetensors import save_safetensors
 
     flat = flatten_params(params)
+    if any(key.endswith("weight.q") for key in flat):
+        raise ValueError(
+            "Cannot save an int8-quantized model as a checkpoint (quantization "
+            "is lossy); load with param_dtype='float32' to export."
+        )
     out: Dict[str, np.ndarray] = {}
     for key, tensor in flat.items():
         if str(tensor.dtype) == "bfloat16":  # ml_dtypes bf16 -> widen for the file

@@ -12,23 +12,39 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def linear(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray | None = None) -> jnp.ndarray:
+def linear(x: jnp.ndarray, weight, bias: jnp.ndarray | None = None) -> jnp.ndarray:
     """y = x @ W^T + b with W in torch layout [out, in].
 
     Mixed precision: when the weight is lower precision (bf16 serving mode),
     the activation is cast down to match — the MXU multiplies in bf16 and
     accumulates in float32 — and the result is returned in the activation's
     original dtype.
+
+    `weight` may also be an int8 weight-only quantized leaf
+    {"q": int8 [out, in], "s": float32 [out]} (models/weights.quantize_int8).
+    The per-output-channel scale commutes with the contraction
+    (x @ (q * s[:, None]).T == (x @ q.T) * s), so it is applied to the f32
+    accumulator AFTER the matmul: the kernel reads half the HBM bytes of bf16
+    and loses no accumulation precision beyond the quantization itself.
     """
     out_dtype = x.dtype
-    if weight.dtype != x.dtype:
-        x = x.astype(weight.dtype)
-    y = lax.dot_general(
-        x,
-        weight,
-        dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(out_dtype)
+    if isinstance(weight, dict):
+        y = lax.dot_general(
+            x.astype(jnp.bfloat16),
+            weight["q"].astype(jnp.bfloat16),
+            dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        y = (y * weight["s"]).astype(out_dtype)
+    else:
+        if weight.dtype != x.dtype:
+            x = x.astype(weight.dtype)
+        y = lax.dot_general(
+            x,
+            weight,
+            dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(out_dtype)
     if bias is not None:
         y = y + bias.astype(out_dtype)
     return y

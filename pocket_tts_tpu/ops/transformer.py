@@ -102,7 +102,11 @@ class StreamingTransformerLayer:
     def _ff(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
         from pocket_tts_tpu.ops.fused_ff import fused_ff, fused_ff_enabled
 
-        if self.layer_scale is None and fused_ff_enabled():
+        if (
+            self.layer_scale is None
+            and fused_ff_enabled()
+            and not isinstance(params["linear1"]["weight"], dict)  # not int8-quantized
+        ):
             B, T, E = x.shape
             out = fused_ff(
                 x.reshape(B * T, E),

@@ -31,7 +31,7 @@ def make_mesh(dp: int = 1, tp: int = 1, devices: Optional[Sequence] = None) -> M
     return Mesh(grid, axis_names=("dp", "tp"))
 
 
-def _param_spec_for_path(path) -> P:
+def _param_spec_for_path(path, leaf=None) -> P:
     """Megatron-style sharding; everything else replicated.
 
     linear1.weight [ffn, d_model] -> rows over tp (row-parallel)
@@ -42,17 +42,21 @@ def _param_spec_for_path(path) -> P:
     out_proj.weight [E, E]        -> cols over tp (contraction psum)
     """
     keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
+    ndim = getattr(leaf, "ndim", 2)
     if "linear1" in keys or "in_proj" in keys:
-        return P("tp", None)
+        # int8-quantized leaves: q [out, in] shards like the weight; the 1-D
+        # per-out-channel scale s shards along the same (row) axis.
+        return P("tp") if ndim == 1 else P("tp", None)
     if "linear2" in keys or "out_proj" in keys:
-        return P(None, "tp")
+        # Column-parallel: the out axis is unsharded, so a 1-D scale replicates.
+        return P() if ndim == 1 else P(None, "tp")
     return P()
 
 
 def shard_params(mesh: Mesh, params: dict) -> dict:
     """Place params on the mesh with tp rules (replicated over dp)."""
     def place(path, leaf):
-        return jax.device_put(leaf, NamedSharding(mesh, _param_spec_for_path(path)))
+        return jax.device_put(leaf, NamedSharding(mesh, _param_spec_for_path(path, leaf)))
 
     return jax.tree_util.tree_map_with_path(place, params)
 

@@ -118,7 +118,9 @@ class TTSEngine:
         flow_lm, mimi = model.flow_lm, model.mimi
         B = slots
         self.flow_state = flow_lm.init_state(B, capacity, dtype=model.state_dtype)
-        self.mimi_state = mimi.init_decode_state(B, kv_dtype=model.state_dtype)
+        self.mimi_state = mimi.init_decode_state(
+            B, kv_dtype=model.state_dtype, max_chunk_frames=segment_frames
+        )
         # max_gen = 0 marks a slot inactive (emit is always masked off).
         self.carry = initial_carry(flow_lm, B, [0] * B, [0] * B)
         self._written = 0  # host mirror of the batch-common write index
@@ -309,7 +311,9 @@ class TTSEngine:
         # Warmed Mimi row: the zero-latent warmup is deterministic and
         # voice-independent, so it is computed once and spliced everywhere.
         if self._warm_mimi_row is None:
-            row_mimi = mimi.init_decode_state(1, kv_dtype=model.state_dtype)
+            row_mimi = mimi.init_decode_state(
+                1, kv_dtype=model.state_dtype, max_chunk_frames=self.segment_frames
+            )
             if self.warmup_frames > 0:
                 frame_fn = model._mimi_frame_jit(1)
                 zero_latent = jnp.zeros((1, flow_lm.ldim), dtype=jnp.float32)
