@@ -29,6 +29,7 @@ def main() -> None:
     ap.add_argument("--segments", type=int, default=8)
     ap.add_argument("--S", type=int, default=32)
     ap.add_argument("--capacity", type=int, default=1024)
+    ap.add_argument("--unroll", type=int, default=4)
     args = ap.parse_args()
 
     from pocket_tts_tpu.models.generate import initial_carry, make_segment_fn
@@ -48,7 +49,9 @@ def main() -> None:
     mimi_state = mimi.init_decode_state(B, kv_dtype=model.state_dtype, max_chunk_frames=S)
     carry = initial_carry(flow_lm, B, [10**6] * B, [10**6] * B)
 
-    fn = make_segment_fn(flow_lm, mimi, model.lsd_decode_steps, model.noise_clamp, S, unroll=4)
+    fn = make_segment_fn(
+        flow_lm, mimi, model.lsd_decode_steps, model.noise_clamp, S, unroll=args.unroll
+    )
     seg = jax.jit(fn, donate_argnums=(1, 2, 3))
     rng = jax.random.PRNGKey(1)
     temp, thr = jnp.float32(0.7), jnp.float32(1e9)

@@ -48,9 +48,11 @@ class LUTConditioner(BaseConditioner):
     """
 
     def __init__(self, n_bins: int, tokenizer_path: str, dim: int, output_dim: int,
-                 embed_weight: jnp.ndarray | None = None):
+                 embed_weight: jnp.ndarray | None = None, tokenizer=None):
         super().__init__(dim=dim, output_dim=output_dim)
-        self.tokenizer = make_tokenizer(n_bins, tokenizer_path)
+        self.tokenizer = tokenizer if tokenizer is not None else make_tokenizer(
+            n_bins, tokenizer_path
+        )
         self.embed_weight = embed_weight
 
     def prepare(self, x: str) -> TokenizedText:

@@ -222,6 +222,40 @@ class FlowLMModel:
         transformer = {"layers": layers, "widx": state["transformer"]["widx"]}
         return {"transformer": transformer, "pos": state["pos"]}
 
+    def compact_state(self, state: State, new_written: int) -> State:
+        """Gather each stream's valid cache entries to the front of its row.
+
+        The slot-indexed cache writes at a batch-common index that only grows
+        (every call consumes t_pad + dispatched slots even where a stream's
+        positions were padding/overshoot). Compaction reclaims those dead
+        slots — one gather per layer, amortized over ~capacity frames — so
+        long continuation sessions stay within one capacity bucket instead of
+        growing (and recompiling) forever. `new_written` must upper-bound
+        max(valid positions) + 1."""
+
+        def compact_layer(layer: State) -> State:
+            slot_pos = layer["slot_pos"]  # [B, cap]
+            order = jnp.argsort(
+                jnp.where(slot_pos >= 0, slot_pos, 2**30), axis=1
+            )  # valid entries first, in position order
+            gathered_pos = jnp.take_along_axis(slot_pos, order, axis=1)
+            idx = order[:, None, :, None]
+
+            def g(a):
+                return jnp.take_along_axis(
+                    a,
+                    jnp.broadcast_to(idx, (a.shape[0], a.shape[1], a.shape[2], a.shape[3])),
+                    axis=2,
+                )
+
+            return {"k": g(layer["k"]), "v": g(layer["v"]), "slot_pos": gathered_pos}
+
+        layers = [compact_layer(l) for l in state["transformer"]["layers"]]
+        return {
+            "transformer": {"layers": layers, "widx": jnp.asarray(new_written, jnp.int32)},
+            "pos": state["pos"],
+        }
+
     def state_capacity(self, state: State) -> int:
         return state["transformer"]["layers"][0]["k"].shape[2]
 

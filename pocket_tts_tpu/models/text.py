@@ -39,16 +39,29 @@ class Tokenizer(Protocol):
 
 class SentencePieceTokenizer:
     """SentencePiece tokenizer (vocab must match the config's n_bins;
-    reference: pocket_tts_mlx/conditioners/text.py:15-29)."""
+    reference: pocket_tts_mlx/conditioners/text.py:15-29).
+
+    Prefers the native `sentencepiece` package; without it, the pure-Python
+    unigram engine (utils/spm.py) loads the same `.model` file, so the real
+    vocabulary works on air-gapped machines too."""
 
     def __init__(self, n_bins: int, tokenizer_path: str):
-        import sentencepiece
-
         from pocket_tts_tpu.utils.assets import download_if_necessary
 
         logger.info("Loading SentencePiece tokenizer from %s", tokenizer_path)
         local = download_if_necessary(tokenizer_path)
-        self.sp = sentencepiece.SentencePieceProcessor(str(local))
+        try:
+            import sentencepiece
+
+            self.sp = sentencepiece.SentencePieceProcessor(str(local))
+        except ImportError:
+            from pocket_tts_tpu.utils.spm import SentencePieceProcessor
+
+            logger.info(
+                "`sentencepiece` not installed; using the pure-Python "
+                "unigram engine (pocket_tts_tpu.utils.spm)"
+            )
+            self.sp = SentencePieceProcessor(str(local))
         assert n_bins == self.sp.vocab_size(), (
             f"sentencepiece tokenizer has vocab_size={self.sp.vocab_size()} "
             f"but n_bins={n_bins} was specified"

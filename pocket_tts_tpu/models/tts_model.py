@@ -156,6 +156,20 @@ class TTSModel:
         self.mimi = mimi
         self.params = params
         self.tokenizer = tokenizer
+        # User-facing conditioner object with the reference's prepare/__call__
+        # protocol (reference: pocket_tts_mlx/conditioners/text.py:32-45),
+        # bound to the live embedding table. The jitted compute path embeds
+        # via flow_lm.embed_text on the same weight.
+        from pocket_tts_tpu.conditioners.text import LUTConditioner
+
+        self.conditioner = LUTConditioner(
+            n_bins=flow_lm.n_bins,
+            tokenizer_path="",
+            dim=flow_lm.dim,
+            output_dim=flow_lm.dim,
+            embed_weight=params["flow_lm"]["conditioner"]["embed"]["weight"],
+            tokenizer=tokenizer,
+        )
         self.temp = float(temp)
         self.lsd_decode_steps = int(lsd_decode_steps)
         self.noise_clamp = noise_clamp
@@ -350,6 +364,17 @@ class TTSModel:
 
         return self._jit(("prefill", B, T, capacity), build)
 
+    def _clone_jit(self):
+        """Jitted deep-copy: returns fresh device buffers (x + 0 forces real
+        outputs rather than aliasing), so a cached template survives being
+        fed into donating jits."""
+        def build():
+            return jax.jit(
+                lambda t: jax.tree_util.tree_map(lambda x: x + jnp.zeros((), x.dtype), t)
+            )
+
+        return self._jit(("clone",), build)
+
     def _mimi_frame_jit(self, B: int):
         def build():
             mimi = self.mimi
@@ -415,12 +440,10 @@ class TTSModel:
         """Build the FlowLM state for a voice: predefined name, WAV path/URI,
         or a raw [C, T] / [T] waveform array (reference: tts_model.py:484-518)."""
         if isinstance(audio_conditioning, str) and audio_conditioning in PREDEFINED_VOICES:
+            tensors = None
             try:
                 voice_file = download_if_necessary(PREDEFINED_VOICES[audio_conditioning])
                 tensors = load_safetensors(voice_file)
-                if "audio_prompt" not in tensors:
-                    raise KeyError("audio_prompt not found in voice embedding file")
-                prompt = jnp.asarray(tensors["audio_prompt"], dtype=jnp.float32)
             except Exception:
                 # With random weights (offline dev/bench), a synthetic prompt
                 # keeps the pipeline runnable; with real weights this is an error.
@@ -438,6 +461,24 @@ class TTSModel:
                     )
                     * 0.02
                 )
+            if tensors is not None:
+                # A readable-but-malformed asset is an error even offline.
+                if "audio_prompt" not in tensors:
+                    raise KeyError("audio_prompt not found in voice embedding file")
+                raw = np.asarray(tensors["audio_prompt"])
+                # Shape contract of the published voice assets: [1, T, d_model]
+                # float (reference: pocket_tts_mlx/utils/weight_conversion.py:78-89).
+                if raw.ndim != 3 or raw.shape[0] != 1 or raw.shape[2] != self.flow_lm.dim:
+                    raise ValueError(
+                        f"voice embedding 'audio_prompt' must be [1, T, "
+                        f"{self.flow_lm.dim}], got {tuple(raw.shape)}"
+                    )
+                if raw.dtype.kind != "f":
+                    raise ValueError(
+                        f"voice embedding 'audio_prompt' must be floating point, "
+                        f"got {raw.dtype}"
+                    )
+                prompt = jnp.asarray(raw, dtype=jnp.float32)
         else:
             if not self.has_voice_cloning and isinstance(audio_conditioning, (str, Path)):
                 raise ValueError(VOICE_CLONING_UNSUPPORTED)
@@ -593,7 +634,9 @@ class TTSModel:
                 "use generate_audio_batch for batched states"
             )
 
-        token_lists = [self.tokenizer.encode(t) for t in texts]
+        # Tokenize through the conditioner protocol (prepare -> TokenizedText),
+        # the same surface reference users consume (conditioners/text.py).
+        token_lists = [self.conditioner.prepare(t).tokens[0].tolist() for t in texts]
         token_counts = [len(t) for t in token_lists]
         max_gen = [
             estimate_max_gen_len(
@@ -616,25 +659,50 @@ class TTSModel:
         else:
             dispatch_budget = max_gen_all
         # Slot-indexed cache: capacity counts every write (incl. padding),
-        # not stream positions.
+        # not stream positions. Before growing to a new bucket (= a new jit
+        # compilation), try compacting the dead slots out — long
+        # copy_state=False sessions then stay within one bucket as long as
+        # their *valid* history fits (engine-style compaction, VERDICT item).
+        capacity_now = self.flow_lm.state_capacity(tree)
         required = model_state.written + t_pad + dispatch_budget
+        if _bucket(required) > capacity_now:
+            # The write index is data, not shape: align to the 8-sublane
+            # granularity only (the KV capacity itself stays bucketed).
+            compact_written = -(-(max(model_state.pos) + 1) // 8) * 8
+            required_after = compact_written + t_pad + dispatch_budget
+            if compact_written < model_state.written and _bucket(required_after) < _bucket(
+                required
+            ):
+                tree = self.flow_lm.compact_state(tree, compact_written)
+                model_state.tree = tree
+                model_state.written = compact_written
+                required = required_after
         capacity = _bucket(required)
         if self.flow_lm.state_capacity(tree) < capacity:
             tree = self.flow_lm.expand_state(tree, capacity)
         else:
             capacity = self.flow_lm.state_capacity(tree)
 
-        # Mimi decoder state + warmup (reference: tts_model.py:464-476).
-        mimi_state = self.mimi.init_decode_state(
-            B,
-            kv_dtype=self.state_dtype,
-            max_chunk_frames=_BULK_SEGMENT_FRAMES if bulk else segment_frames,
-        )
-        if warmup_frames > 0:
-            frame_fn = self._mimi_frame_jit(B)
-            zero_latent = jnp.zeros((B, self.flow_lm.ldim), dtype=jnp.float32)
-            for _ in range(warmup_frames):
-                _, mimi_state = frame_fn(self.params, zero_latent, mimi_state)
+        # Mimi decoder state + warmup (reference: tts_model.py:464-476). The
+        # zero-latent warmup is deterministic and voice-independent, so the
+        # warmed state is computed once per (B, chunk, warmup) shape and
+        # reused — generation then starts with zero extra dispatches.
+        max_chunk = _BULK_SEGMENT_FRAMES if bulk else segment_frames
+        warm_key = ("warm_mimi", B, max_chunk, warmup_frames)
+        warm_template = self._jit_cache.get(warm_key)
+        if warm_template is None:
+            warm_template = self.mimi.init_decode_state(
+                B, kv_dtype=self.state_dtype, max_chunk_frames=max_chunk
+            )
+            if warmup_frames > 0:
+                frame_fn = self._mimi_frame_jit(B)
+                zero_latent = jnp.zeros((B, self.flow_lm.ldim), dtype=jnp.float32)
+                for _ in range(warmup_frames):
+                    _, warm_template = frame_fn(self.params, zero_latent, warm_template)
+            self._jit_cache[warm_key] = warm_template
+        # The segment jit donates its mimi_state argument, so hand it a fresh
+        # device copy of the warmed template (one dispatch).
+        mimi_state = self._clone_jit()(warm_template)
 
         t_generating = time.monotonic()
         prefill = self._prefill_jit(B, t_pad, capacity)["tokens"]

@@ -45,6 +45,18 @@ _RENAMES = {
 }
 
 
+def is_expected_skip(key: str) -> bool:
+    """True when a checkpoint tensor is KNOWN to be droppable (the reference
+    loaders drop exactly these: VQ codebooks, flow.w_s_t, learnt paddings,
+    logvar_proj — weight_conversion.py:102-134). The checkpoint-parity gate
+    (tests/test_checkpoint_parity.py) asserts every skipped key passes this."""
+    for prefix in ("model.", "flow_lm.", "mimi."):
+        if key.startswith(prefix):
+            key = key[len(prefix):]
+            break
+    return any(key.startswith(p) for p in _SKIP_PREFIXES) or key in _SKIP_EXACT
+
+
 def _normalize_key(key: str) -> str | None:
     """Apply skip rules and renames; None means the tensor is dropped."""
     prefix, bare = "", key
@@ -168,28 +180,35 @@ def load_state_dict(
     flat: Dict[str, np.ndarray],
     dtype=jnp.float32,
     strip_prefix: str = "",
+    skipped_keys: list | None = None,
 ) -> tuple[int, int]:
     """Assign a flat {torch_name: array} dict into a params pytree in place.
 
     Returns (loaded, skipped) counts. Unknown keys are skipped (the combined
-    checkpoint contains training-only tensors the runtime never uses).
-    """
+    checkpoint contains training-only tensors the runtime never uses); pass a
+    list as `skipped_keys` to collect their names (the checkpoint-parity gate
+    asserts every skip matches a known-droppable pattern)."""
     loaded = skipped = 0
     for key, tensor in flat.items():
+        original_key = key
         if strip_prefix and key.startswith(strip_prefix):
             key = key[len(strip_prefix):]
         norm = _normalize_key(key)
         if norm is None:
-            skipped += 1
-            continue
-        resolved = _resolve(params, norm.split("."))
+            resolved = None
+        else:
+            resolved = _resolve(params, norm.split("."))
         if resolved is None:
             skipped += 1
+            if skipped_keys is not None:
+                skipped_keys.append(original_key)
             continue
         parent, leaf = resolved
         converted = _convert(norm, np.asarray(tensor), parent[leaf])
         if converted is None:
             skipped += 1
+            if skipped_keys is not None:
+                skipped_keys.append(original_key)
             continue
         parent[leaf] = jnp.asarray(converted, dtype=dtype if converted.dtype.kind == "f" else None)
         loaded += 1

@@ -98,12 +98,15 @@ class ResBlock:
             ],
         }
 
-    def __call__(self, params: Params, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-        ada = linear(
-            jax.nn.silu(y),
-            params["adaLN_modulation"][1]["weight"],
-            params["adaLN_modulation"][1]["bias"],
-        )
+    def __call__(
+        self, params: Params, x: jnp.ndarray, y: jnp.ndarray, ada: jnp.ndarray | None = None
+    ) -> jnp.ndarray:
+        if ada is None:
+            ada = linear(
+                jax.nn.silu(y),
+                params["adaLN_modulation"][1]["weight"],
+                params["adaLN_modulation"][1]["bias"],
+            )
         shift, scale, gate = jnp.split(ada, 3, axis=-1)
         normed = layer_norm(x, params["in_ln"]["weight"], params["in_ln"]["bias"], eps=1e-6)
         h = modulate(normed, shift, scale)
@@ -130,12 +133,15 @@ class FinalLayer:
             ],
         }
 
-    def __call__(self, params: Params, x: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
-        ada = linear(
-            jax.nn.silu(c),
-            params["adaLN_modulation"][1]["weight"],
-            params["adaLN_modulation"][1]["bias"],
-        )
+    def __call__(
+        self, params: Params, x: jnp.ndarray, c: jnp.ndarray, ada: jnp.ndarray | None = None
+    ) -> jnp.ndarray:
+        if ada is None:
+            ada = linear(
+                jax.nn.silu(c),
+                params["adaLN_modulation"][1]["weight"],
+                params["adaLN_modulation"][1]["bias"],
+            )
         shift, scale = jnp.split(ada, 2, axis=-1)
         x = modulate(layer_norm(x, eps=1e-6), shift, scale)
         return linear(x, params["linear"]["weight"], params["linear"]["bias"])
@@ -191,6 +197,26 @@ class SimpleMLPAdaLN:
         ) / self.num_time_conds
         c = linear(c, params["cond_embed"]["weight"], params["cond_embed"]["bias"])
         y = t_combined + c
-        for block_params in params["res_blocks"]:
+
+        # All depth+1 AdaLN modulations consume the same silu(y): stack their
+        # weights into ONE matmul (bitwise-identical rows, f32 accumulation).
+        # The concat is loop-invariant inside the decode scan, so XLA hoists
+        # it; the hot loop runs 1 projection kernel instead of depth+1.
+        blocks = params["res_blocks"]
+        mods = [b["adaLN_modulation"][1] for b in blocks] + [
+            params["final_layer"]["adaLN_modulation"][1]
+        ]
+        if all(not isinstance(m["weight"], dict) for m in mods):
+            w_all = jnp.concatenate([m["weight"] for m in mods], axis=0)
+            b_all = jnp.concatenate([m["bias"] for m in mods], axis=0)
+            ada_all = linear(jax.nn.silu(y), w_all, b_all)
+            per_block = 3 * self.model_channels
+            for i, block_params in enumerate(blocks):
+                ada = ada_all[..., i * per_block : (i + 1) * per_block]
+                x = block(block_params, x, y, ada=ada)
+            final_ada = ada_all[..., len(blocks) * per_block :]
+            return final(params["final_layer"], x, y, ada=final_ada)
+
+        for block_params in blocks:
             x = block(block_params, x, y)
         return final(params["final_layer"], x, y)

@@ -25,6 +25,7 @@ from __future__ import annotations
 import logging
 import queue
 import threading
+import time
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -39,7 +40,7 @@ from pocket_tts_tpu.models.text import (
     prepare_text_prompt,
     split_into_best_sentences,
 )
-from pocket_tts_tpu.models.tts_model import ModelState, TTSModel, _bucket
+from pocket_tts_tpu.models.tts_model import ModelState, TTSModel
 
 logger = logging.getLogger(__name__)
 
@@ -52,6 +53,10 @@ class RequestHandle:
 
     request_id: int
     text: str
+    # Wall-clock arrival time of every delivered frame (engine-side enqueue;
+    # populated when the engine runs with record_frame_times=True). Feed to
+    # frame_lateness() to check real-time playback deadlines.
+    frame_times: list = field(default_factory=list)
     _queue: "queue.Queue[Optional[np.ndarray]]" = field(default_factory=queue.Queue)
     _done: threading.Event = field(default_factory=threading.Event)
     # Remaining sentence chunks for long texts: each chunk restarts from the
@@ -106,6 +111,7 @@ class TTSEngine:
         text_pad: int = 64,
         warmup_frames: int = 1,
         emit_pcm16: bool = False,
+        record_frame_times: bool = False,
     ):
         self.model = model
         self.num_slots = slots
@@ -114,6 +120,7 @@ class TTSEngine:
         self.text_pad = text_pad
         self.warmup_frames = warmup_frames
         self.emit_pcm16 = emit_pcm16
+        self.record_frame_times = record_frame_times
 
         flow_lm, mimi = model.flow_lm, model.mimi
         B = slots
@@ -235,13 +242,14 @@ class TTSEngine:
     # ------------------------------------------------------------ admission
 
     def _build_admit_fn(self):
-        """One jitted program performing a whole slot admission.
+        """Jitted burst admission: splice K voice rows in ONE dispatch.
 
-        The slot index is a traced scalar, so a single compiled executable
-        serves every slot; all splices are dynamic_update_slices fused into
-        one dispatch (per-slot eager .at[b].set updates cost ~15 device
-        round-trips each, which dominated bursts of admissions).
-        """
+        Slot indices are traced scalars, so one compiled executable per group
+        size K serves every slot combination; all splices are
+        dynamic_update_slices fused into a single program (per-slot eager
+        .at[b].set updates cost ~15 device round-trips each, and one jitted
+        call per slot still cost a dispatch per request — a cold 64-burst is
+        now 1-2 dispatches instead of 64)."""
 
         def splice(batch_leaf, row_leaf, b):
             if batch_leaf.ndim == 0:
@@ -251,41 +259,50 @@ class TTSEngine:
                 batch_leaf, row_leaf.astype(batch_leaf.dtype), start
             )
 
-        def admit_fn(flow_state, mimi_state, carry, voice_tree, warm_mimi, b,
-                     pos0, fae, max_gen, widx_new):
-            transformer = jax.tree_util.tree_map(
-                lambda bl, rl: splice(bl, rl, b),
-                flow_state["transformer"],
-                voice_tree["transformer"],
-            )
-            transformer["widx"] = jnp.maximum(flow_state["transformer"]["widx"], widx_new)
-            flow_state = {
-                "transformer": transformer,
-                "pos": jax.lax.dynamic_update_slice(flow_state["pos"], pos0[None], (b,)),
-            }
-            mimi_state = jax.tree_util.tree_map(
-                lambda bl, rl: splice(bl, rl, b), mimi_state, warm_mimi
-            )
-            upd = lambda a, v: jax.lax.dynamic_update_slice(
-                a, jnp.asarray([v], a.dtype), (b,)
-            )
-            carry = {
-                "latent": jax.lax.dynamic_update_slice(
-                    carry["latent"],
-                    jnp.zeros((1, carry["latent"].shape[1]), carry["latent"].dtype),
-                    (b, 0),
-                ),
-                "is_bos": jax.lax.dynamic_update_slice(
-                    carry["is_bos"], jnp.ones((1,), jnp.bool_), (b,)
-                ),
-                "eos_step": upd(carry["eos_step"], _EOS_NEVER),
-                "step": upd(carry["step"], 0),
-                "tick": carry["tick"],
-                "frames_after_eos": jax.lax.dynamic_update_slice(
-                    carry["frames_after_eos"], fae[None], (b,)
-                ),
-                "max_gen": jax.lax.dynamic_update_slice(carry["max_gen"], max_gen[None], (b,)),
-            }
+        def admit_fn(flow_state, mimi_state, carry, voice_trees, warm_mimi, bs,
+                     pos0s, faes, max_gens, widx_new):
+            # K is static (the length of the python lists); bs etc. are traced.
+            for voice_tree, b, pos0, fae, max_gen in zip(
+                voice_trees, bs, pos0s, faes, max_gens
+            ):
+                transformer = jax.tree_util.tree_map(
+                    lambda bl, rl: splice(bl, rl, b),
+                    flow_state["transformer"],
+                    voice_tree["transformer"],
+                )
+                transformer["widx"] = flow_state["transformer"]["widx"]
+                flow_state = {
+                    "transformer": transformer,
+                    "pos": jax.lax.dynamic_update_slice(flow_state["pos"], pos0[None], (b,)),
+                }
+                mimi_state = jax.tree_util.tree_map(
+                    lambda bl, rl: splice(bl, rl, b), mimi_state, warm_mimi
+                )
+                upd = lambda a, v: jax.lax.dynamic_update_slice(
+                    a, jnp.asarray([v], a.dtype), (b,)
+                )
+                carry = {
+                    "latent": jax.lax.dynamic_update_slice(
+                        carry["latent"],
+                        jnp.zeros((1, carry["latent"].shape[1]), carry["latent"].dtype),
+                        (b, 0),
+                    ),
+                    "is_bos": jax.lax.dynamic_update_slice(
+                        carry["is_bos"], jnp.ones((1,), jnp.bool_), (b,)
+                    ),
+                    "eos_step": upd(carry["eos_step"], _EOS_NEVER),
+                    "step": upd(carry["step"], 0),
+                    "tick": carry["tick"],
+                    "frames_after_eos": jax.lax.dynamic_update_slice(
+                        carry["frames_after_eos"], fae[None], (b,)
+                    ),
+                    "max_gen": jax.lax.dynamic_update_slice(
+                        carry["max_gen"], max_gen[None], (b,)
+                    ),
+                }
+            transformer = dict(flow_state["transformer"])
+            transformer["widx"] = jnp.maximum(transformer["widx"], widx_new)
+            flow_state = {"transformer": transformer, "pos": flow_state["pos"]}
             return flow_state, mimi_state, carry
 
         return jax.jit(admit_fn, donate_argnums=(0, 1, 2))
@@ -305,7 +322,13 @@ class TTSEngine:
             self._voice_cache[key] = hit
         return hit[1]
 
-    def _admit(self, b: int, handle, voice_state: ModelState, fae: int, max_gen: int, tokens):
+    def _admit_group(self, items: list) -> list:
+        """Splice a group of admissions in one jitted dispatch.
+
+        items: [(b, handle, voice_state, fae, max_gen, tokens)]. Groups are
+        split into power-of-2 sizes so at most log2(slots) executables exist.
+        Returns [(b, tokens)] for the batched prefill.
+        """
         flow_lm, mimi, model = self.model.flow_lm, self.model.mimi, self.model
 
         # Warmed Mimi row: the zero-latent warmup is deterministic and
@@ -321,32 +344,47 @@ class TTSEngine:
                     _, row_mimi = frame_fn(model.params, zero_latent, row_mimi)
             self._warm_mimi_row = row_mimi
 
-        voice_tree = self._expanded_voice(voice_state)
-        # The batch write index must clear the spliced voice's own writes,
-        # otherwise the next prefill would overwrite the voice KV rows.
-        self._written = max(self._written, voice_state.written)
-        self.flow_state, self.mimi_state, self.carry = self._admit_jit(
-            self.flow_state,
-            self.mimi_state,
-            self.carry,
-            voice_tree,
-            self._warm_mimi_row,
-            jnp.int32(b),
-            jnp.int32(voice_state.pos[0]),
-            jnp.int32(fae),
-            jnp.int32(max_gen),
-            jnp.int32(self._written),
-        )
-        self._pos[b] = voice_state.pos[0]
+        admitted = []
+        start = 0
+        while start < len(items):
+            remaining = len(items) - start
+            k = 1
+            while k * 2 <= remaining:
+                k *= 2
+            group = items[start : start + k]
+            start += k
 
-        slot = self._slots[b]
-        slot.active = True
-        slot.handle = handle
-        slot.emitted = 0
-        self._epoch_counter += 1
-        slot.epoch = self._epoch_counter
-        logger.info("engine: admitted request %d into slot %d", handle.request_id, b)
-        return tokens
+            voice_trees = [self._expanded_voice(v) for _, _, v, *_ in group]
+            # The batch write index must clear every spliced voice's own
+            # writes, otherwise the next prefill would overwrite voice KV rows.
+            self._written = max(
+                self._written, max(v.written for _, _, v, *_ in group)
+            )
+            self.flow_state, self.mimi_state, self.carry = self._admit_jit(
+                self.flow_state,
+                self.mimi_state,
+                self.carry,
+                voice_trees,
+                self._warm_mimi_row,
+                [jnp.int32(b) for b, *_ in group],
+                [jnp.int32(v.pos[0]) for _, _, v, *_ in group],
+                [jnp.int32(fae) for _, _, _, fae, _, _ in group],
+                [jnp.int32(mg) for _, _, _, _, mg, _ in group],
+                jnp.int32(self._written),
+            )
+            for b, handle, voice_state, fae, max_gen, tokens in group:
+                self._pos[b] = voice_state.pos[0]
+                slot = self._slots[b]
+                slot.active = True
+                slot.handle = handle
+                slot.emitted = 0
+                self._epoch_counter += 1
+                slot.epoch = self._epoch_counter
+                logger.info(
+                    "engine: admitted request %d into slot %d", handle.request_id, b
+                )
+                admitted.append((b, tokens))
+        return admitted
 
     def _prefill_admitted(self, admitted: list[tuple[int, list[int]]]):
         """One batched prefill for all newly admitted slots (others length 0)."""
@@ -372,33 +410,9 @@ class TTSEngine:
         if self._written + budget < self.capacity:
             return
         logger.info("engine: compacting KV cache (written=%d)", self._written)
-        max_valid = _bucket(max(self._pos) + 1)
-
-        def compact_layer(layer):
-            slot_pos = layer["slot_pos"]  # [B, cap]
-            order = jnp.argsort(
-                jnp.where(slot_pos >= 0, slot_pos, 2**30), axis=1
-            )  # valid entries first, in position order
-            gathered_pos = jnp.take_along_axis(slot_pos, order, axis=1)
-            idx = order[:, None, :, None]
-
-            def g(a):
-                return jnp.take_along_axis(
-                    a, jnp.broadcast_to(idx, (a.shape[0], a.shape[1], a.shape[2], a.shape[3])),
-                    axis=2,
-                )
-
-            return {
-                "k": g(layer["k"]),
-                "v": g(layer["v"]),
-                "slot_pos": gathered_pos,
-            }
-
-        layers = [compact_layer(l) for l in self.flow_state["transformer"]["layers"]]
-        self.flow_state = {
-            "transformer": {"layers": layers, "widx": jnp.asarray(max_valid, jnp.int32)},
-            "pos": self.flow_state["pos"],
-        }
+        # 8-sublane alignment; the write index is data, not a tensor shape.
+        max_valid = -(-(max(self._pos) + 1) // 8) * 8
+        self.flow_state = self.model.flow_lm.compact_state(self.flow_state, max_valid)
         self._written = max_valid
 
     # ------------------------------------------------------------ main loop
@@ -409,7 +423,7 @@ class TTSEngine:
         With block_seconds > 0 the first fetch blocks briefly — used by the
         run loop when fully idle so it doesn't busy-spin a CPU core.
         """
-        admitted = []
+        to_admit = []
         first = True
         for b, slot in enumerate(self._slots):
             if slot.active:
@@ -430,12 +444,13 @@ class TTSEngine:
                     handle._queue.put(None)
                     handle._done.set()
                 continue
-            toks = self._admit(b, handle, voice, fae, max_gen, tokens)
-            admitted.append((b, toks))
-        if admitted:
-            self._maybe_compact()
-            self._prefill_admitted(admitted)
-        return bool(admitted)
+            to_admit.append((b, handle, voice, fae, max_gen, tokens))
+        if not to_admit:
+            return False
+        admitted = self._admit_group(to_admit)
+        self._maybe_compact()
+        self._prefill_admitted(admitted)
+        return True
 
     def _retire_epoch(self, epoch: int) -> None:
         self._retired_epochs.add(epoch)
@@ -516,9 +531,12 @@ class TTSEngine:
                     # silence the lane so the still-running decode emits nothing
                     self.carry = self._silence_lane(self.carry, jnp.int32(b))
                 continue
+            now = time.monotonic() if self.record_frame_times else None
             for s in range(self.segment_frames):
                 if emit_np[b, s]:
                     handle._queue.put(audio_np[b, s])
+                    if now is not None:
+                        handle.frame_times.append(now)
             # Done when the reference loop would have exited
             # (step >= eos_step + frames_after_eos, capped by max_gen).
             steps_target = min(int(eos_step[b]) + int(fae_np[b]), int(max_gen_np[b]))
@@ -571,6 +589,21 @@ class TTSEngine:
                     return
             else:
                 idle_ticks = 0
+
+    def frame_lateness(self, handle: RequestHandle, frame_seconds: float = 0.08):
+        """Per-frame playback lateness for one completed stream.
+
+        A client starts playback when frame 0 arrives; frame i must then be
+        present by t0 + i*frame_seconds. Returns lateness[i] = arrival(i) -
+        deadline(i) in seconds (positive = the player would have stalled with
+        a zero-length buffer; a value below the client's buffer depth is
+        safe). Requires record_frame_times=True."""
+        times = handle.frame_times
+        if not times:
+            return np.zeros((0,), dtype=np.float64)
+        t0 = times[0]
+        deadlines = t0 + frame_seconds * np.arange(len(times))
+        return np.asarray(times) - deadlines
 
     def serve_forever_in_thread(self) -> threading.Thread:
         """Run the engine loop on a daemon thread (for server frontends)."""

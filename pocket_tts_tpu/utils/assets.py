@@ -66,4 +66,10 @@ def download_if_necessary(file_path: str) -> Path:
         local = hf_hub_download(repo_id=repo_id, filename=filename, revision=revision)
         return Path(local)
 
-    return Path(file_path)
+    local = Path(file_path)
+    if not local.exists():
+        # Fail here (not deep inside the safetensors parser) so callers with
+        # fallback chains — voice-cloning weights -> without-voice-cloning ->
+        # random init (tts_model._load_weights) — can catch a clean error.
+        raise FileNotFoundError(f"asset not found: {file_path}")
+    return local

@@ -117,6 +117,36 @@ def test_batch_heterogeneous_lengths(model, voice):
     assert outs[1].shape[0] > outs[0].shape[0]
 
 
+def test_lsd_decode_steps_multi_step_ode(model):
+    """lsd_decode_steps > 1 (+ noise_clamp) end to end: the unrolled Euler
+    loop and its jit-cache keying (reference default is 1 step;
+    pocket_tts_mlx/models/flow_lm.py:18-28 supports any count)."""
+    m = TTSModel(
+        flow_lm=model.flow_lm,
+        mimi=model.mimi,
+        params=model.params,
+        tokenizer=model.tokenizer,
+        temp=0.7,
+        lsd_decode_steps=4,
+        noise_clamp=2.5,
+        eos_threshold=1e9,
+        config=model.config,
+        seed=3,
+    )
+    prompt = jnp.array(RNG.standard_normal((1, 10, m.flow_lm.dim)).astype(np.float32))
+    v = m._state_from_prompt(prompt)
+    m._rng = jax.random.PRNGKey(21)
+    a4 = m.generate_audio(v, "Twelve thirteen fourteen fifteen.", frames_after_eos=2)
+    assert a4.shape[0] % 1920 == 0 and a4.shape[0] > 0
+    assert np.isfinite(a4).all()
+    # the step count keys the jit cache: same shapes, different programs
+    m._rng = jax.random.PRNGKey(21)
+    m.lsd_decode_steps = 1
+    a1 = m.generate_audio(v, "Twelve thirteen fourteen fifteen.", frames_after_eos=2)
+    assert a1.shape == a4.shape  # same schedule/length with EOS disabled
+    assert not np.allclose(a1, a4)  # but a different ODE trajectory
+
+
 def test_multi_chunk_long_text(model, voice):
     """Texts longer than max_tokens split into chunks that all synthesize."""
     text = "One two three four five six. Seven eight nine ten eleven twelve. " * 2
