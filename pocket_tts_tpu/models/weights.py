@@ -101,6 +101,11 @@ def _convert(path: str, tensor: np.ndarray, target) -> np.ndarray | None:
         if tensor.ndim == 3:
             groups = tensor.shape[0] // target_shape[1]
             tensor = convtr_weight_from_torch(tensor, groups=groups)
+    if path.endswith("in_proj.weight") and tensor.ndim == 2 and len(target_shape) == 3:
+        # Packed qkv rows [3E, E] -> [3, E, E] (bit-identical view; the
+        # leading axis makes attention-head TP a plain PartitionSpec).
+        if tensor.shape[0] == target_shape[0] * target_shape[1]:
+            tensor = tensor.reshape(target_shape)
     if tuple(tensor.shape) != target_shape:
         logger.warning(
             "Shape mismatch for %s: checkpoint %s vs model %s — skipped",
@@ -153,12 +158,12 @@ def quantize_int8(params: dict, subtrees=("transformer", "input_linear")) -> dic
                 if (
                     k == "weight"
                     and hasattr(leaf, "ndim")
-                    and leaf.ndim == 2
+                    and leaf.ndim in (2, 3)  # [out, in] linears; [3, E, E] qkv
                     and jnp.issubdtype(leaf.dtype, jnp.floating)
                 ):
                     w = leaf.astype(jnp.float32)
-                    scale = jnp.maximum(jnp.max(jnp.abs(w), axis=1), 1e-12) / 127.0
-                    qw = jnp.clip(jnp.round(w / scale[:, None]), -127, 127).astype(jnp.int8)
+                    scale = jnp.maximum(jnp.max(jnp.abs(w), axis=-1), 1e-12) / 127.0
+                    qw = jnp.clip(jnp.round(w / scale[..., None]), -127, 127).astype(jnp.int8)
                     out[k] = {"q": qw, "s": scale}
                 else:
                     out[k] = q(leaf)
@@ -268,6 +273,8 @@ def save_checkpoint(params: dict, path, convtr_groups_lookup=None) -> int:
             # else dense (groups=1) — the only two cases in this model family.
             groups = cout if cin_per_g == 1 else 1
             tensor = convtr_weight_to_torch(tensor, groups=groups)
+        if key.endswith("in_proj.weight") and tensor.ndim == 3:
+            tensor = tensor.reshape(-1, tensor.shape[-1])  # back to torch [3E, E]
         out[key] = tensor
     save_safetensors(path, out)
     logger.info("Saved %d tensors to %s", len(out), path)

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from pocket_tts_tpu.ops.linear import linear
+from pocket_tts_tpu.ops.linear import linear, qkv_proj
 from pocket_tts_tpu.ops.rope import apply_rope, rope_angles
 
 
@@ -50,10 +50,13 @@ _NEG_INF = -1e9
 
 
 def _split_qkv(projected: jnp.ndarray, num_heads: int) -> tuple[jnp.ndarray, ...]:
-    """[B, T, 3E] -> three [B, T, H, d]; packing matches the checkpoint's
-    in_proj layout (q rows, then k rows, then v rows)."""
-    B, T, E3 = projected.shape
-    d = E3 // (3 * num_heads)
+    """[B, T, 3, F] (from ops.linear.qkv_proj) -> three [B, T, H, d].
+
+    F is head-major, so under tensor parallelism the F axis's sharding flows
+    into H without a collective (packing matches the checkpoint's in_proj
+    layout: q rows, then k rows, then v rows)."""
+    B, T, three, F = projected.shape
+    d = F // num_heads
     packed = projected.reshape(B, T, 3, num_heads, d)
     return packed[:, :, 0], packed[:, :, 1], packed[:, :, 2]
 
@@ -93,9 +96,12 @@ def _init_proj_params(key: jax.Array, embed_dim: int, dtype) -> Params:
     k1, k2 = jax.random.split(key)
     s_in = 1.0 / math.sqrt(embed_dim)
     return {
+        # Stored [3, E, E] (checkpoint's [3E, E] with the qkv sections
+        # unpacked into a leading axis at load) so attention-head TP shards
+        # it with PartitionSpec(None, 'tp', None) — see ops/linear.qkv_proj.
         "in_proj": {
             "weight": jax.random.uniform(
-                k1, (3 * embed_dim, embed_dim), minval=-s_in, maxval=s_in, dtype=dtype
+                k1, (3, embed_dim, embed_dim), minval=-s_in, maxval=s_in, dtype=dtype
             )
         },
         "out_proj": {
@@ -151,7 +157,7 @@ class CausalKVAttention:
     ) -> tuple[jnp.ndarray, State]:
         B, T, _ = x.shape
 
-        projected = linear(x, params["in_proj"]["weight"])
+        projected = qkv_proj(x, params["in_proj"]["weight"])
         q, k, v = _split_qkv(projected, self.num_heads)
 
         q, k = apply_rope(
@@ -189,7 +195,7 @@ class CausalKVAttention:
         """Cache-free full-sequence causal attention (training / teacher-forced
         scoring path; inference uses the KV-cache __call__)."""
         B, T, _ = x.shape
-        projected = linear(x, params["in_proj"]["weight"])
+        projected = qkv_proj(x, params["in_proj"]["weight"])
         q, k, v = _split_qkv(projected, self.num_heads)
         positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :], (B, T))
         q, k = apply_rope(q, k, positions, self.max_period)
@@ -246,7 +252,7 @@ class WindowedRingAttention:
         assert capacity >= self.context + T, "ring must retain a full window plus the new chunk"
         pos = positions[:, 0]
 
-        projected = linear(x, params["in_proj"]["weight"])
+        projected = qkv_proj(x, params["in_proj"]["weight"])
         q, k, v = _split_qkv(projected, self.num_heads)
 
         q, k = apply_rope(q, k, positions, self.max_period, rope_cache=rope_cache)
@@ -277,7 +283,7 @@ class WindowedRingAttention:
         (used by the Mimi encoder during voice cloning; reference:
         pocket_tts_mlx/modules/attention.py:210-213 with model_state=None)."""
         B, T, _ = x.shape
-        projected = linear(x, params["in_proj"]["weight"])
+        projected = qkv_proj(x, params["in_proj"]["weight"])
         q, k, v = _split_qkv(projected, self.num_heads)
         positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :], (B, T))
         q, k = apply_rope(q, k, positions, self.max_period)

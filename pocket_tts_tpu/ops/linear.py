@@ -50,6 +50,38 @@ def linear(x: jnp.ndarray, weight, bias: jnp.ndarray | None = None) -> jnp.ndarr
     return y
 
 
+def qkv_proj(x: jnp.ndarray, weight) -> jnp.ndarray:
+    """Packed QKV projection with a head-shardable weight.
+
+    weight is [3, E, E] (checkpoint rows reshaped at load: q rows, then k,
+    then v — see models/weights.py). Keeping the three sections as a leading
+    axis makes per-head tensor parallelism a plain PartitionSpec
+    (None, 'tp', None): the output's F axis is head-major, so the reshape to
+    [B, T, 3, H, d] splits a sharded axis without any collective. Returns
+    [B, T, 3, F].
+
+    Also accepts the int8 weight-only form {"q": int8 [3, F, E],
+    "s": float32 [3, F]} (models/weights.quantize_int8).
+    """
+    out_dtype = x.dtype
+    if isinstance(weight, dict):
+        y = lax.dot_general(
+            x.astype(jnp.bfloat16),
+            weight["q"].astype(jnp.bfloat16),
+            dimension_numbers=(((x.ndim - 1,), (2,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return (y * weight["s"]).astype(out_dtype)
+    if weight.dtype != x.dtype:
+        x = x.astype(weight.dtype)
+    return lax.dot_general(
+        x,
+        weight,
+        dimension_numbers=(((x.ndim - 1,), (2,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(out_dtype)
+
+
 def embedding(tokens: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
     """Lookup rows of table [vocab, dim] by integer tokens [...]."""
     return jnp.take(table, tokens, axis=0)

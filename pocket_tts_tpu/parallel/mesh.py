@@ -37,13 +37,21 @@ def _param_spec_for_path(path, leaf=None) -> P:
     linear1.weight [ffn, d_model] -> rows over tp (row-parallel)
     linear2.weight [d_model, ffn] -> cols over tp (column-parallel, XLA
     inserts the psum on the contraction)
-    in_proj.weight [3E, E]        -> rows over tp (packed qkv; GSPMD reshards
-    around the head reshape as needed)
+    in_proj.weight [3, E, E]      -> head-major output axis over tp: real
+    attention-head partitioning (q/k/v projections, RoPE, cache update and
+    softmax(QK^T)V all run on each device's own head group; no gathers)
     out_proj.weight [E, E]        -> cols over tp (contraction psum)
     """
     keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
     ndim = getattr(leaf, "ndim", 2)
-    if "linear1" in keys or "in_proj" in keys:
+    if "in_proj" in keys:
+        # [3, E, E] packed qkv: shard the head-major output axis -> real
+        # attention-head TP (q/k/v/heads partition; the [B,T,3,H,d] reshape
+        # splits the sharded axis with no collective). int8 scale is [3, F].
+        if ndim == 3:
+            return P(None, "tp", None)
+        return P(None, "tp") if ndim == 2 else P()
+    if "linear1" in keys:
         # int8-quantized leaves: q [out, in] shards like the weight; the 1-D
         # per-out-channel scale s shards along the same (row) axis.
         return P("tp") if ndim == 1 else P("tp", None)
@@ -62,11 +70,15 @@ def shard_params(mesh: Mesh, params: dict) -> dict:
 
 
 def state_sharding_spec(batch_size: int):
-    """Spec callable: shard dim 0 over dp for every per-stream leaf."""
+    """Spec callable: shard dim 0 over dp for every per-stream leaf; 4-D
+    leaves are the KV caches [B, H, capacity, d], whose head axis shards
+    over tp to match the head-parallel attention weights."""
     def spec(leaf) -> P:
-        if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == batch_size:
-            return P("dp", *([None] * (leaf.ndim - 1)))
-        return P()
+        if not (hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == batch_size):
+            return P()
+        if leaf.ndim == 4:
+            return P("dp", "tp", None, None)
+        return P("dp", *([None] * (leaf.ndim - 1)))
 
     return spec
 

@@ -25,7 +25,7 @@ def test_causal_prefill_matches_torch_full_attention():
     out, _ = attn(params, jnp.array(x), state, positions, jnp.int32(0))
 
     ref = tm.causal_attention(
-        x, _np(params["in_proj"]["weight"]), _np(params["out_proj"]["weight"]), num_heads=4
+        x, _np(params["in_proj"]["weight"]).reshape(-1, params["in_proj"]["weight"].shape[-1]), _np(params["out_proj"]["weight"]), num_heads=4
     )
     np.testing.assert_allclose(_np(out), ref, rtol=1e-4, atol=1e-5)
 
@@ -108,7 +108,7 @@ def test_windowed_full_matches_torch():
     x = RNG.standard_normal((B, T, 32)).astype(np.float32)
     out = attn.forward(params, jnp.array(x))
     ref = tm.windowed_attention(
-        x, _np(params["in_proj"]["weight"]), _np(params["out_proj"]["weight"]),
+        x, _np(params["in_proj"]["weight"]).reshape(-1, params["in_proj"]["weight"].shape[-1]), _np(params["out_proj"]["weight"]),
         num_heads=4, context=6,
     )
     np.testing.assert_allclose(_np(out), ref, rtol=1e-4, atol=1e-5)

@@ -35,12 +35,12 @@ def transformer_layer(p, x, num_heads, kind, context=None, layer_scale=False):
     h = tm.layer_norm(x, p["norm1"]["weight"], p["norm1"]["bias"], eps=1e-5)
     if kind == "flow_lm":
         attn = tm.causal_attention(
-            h, p["self_attn"]["in_proj"]["weight"], p["self_attn"]["out_proj"]["weight"],
+            h, np.asarray(p["self_attn"]["in_proj"]["weight"]).reshape(-1, p["self_attn"]["in_proj"]["weight"].shape[-1]), p["self_attn"]["out_proj"]["weight"],
             num_heads,
         )
     else:
         attn = tm.windowed_attention(
-            h, p["self_attn"]["in_proj"]["weight"], p["self_attn"]["out_proj"]["weight"],
+            h, np.asarray(p["self_attn"]["in_proj"]["weight"]).reshape(-1, p["self_attn"]["in_proj"]["weight"].shape[-1]), p["self_attn"]["out_proj"]["weight"],
             num_heads, context,
         )
     if layer_scale:
