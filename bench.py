@@ -38,13 +38,19 @@ SAMPLE_RATE = 24_000
 FRAME = 1920
 
 
+BENCH_DTYPE = os.environ.get("POCKET_TTS_BENCH_DTYPE", "int8")
+
+
 def _build_model():
     from pocket_tts_tpu.models.tts_model import TTSModel
 
     model = TTSModel.load_model(
         eos_threshold=1e9,  # random weights: disable EOS so runs are full-length
         matmul_precision="default",
-        param_dtype="bfloat16",  # serving config: bf16 weights/KV, fp32 islands
+        # Serving config: bf16 weights/KV with fp32 islands, plus weight-only
+        # int8 on the per-frame FlowLM reads (see models/weights.quantize_int8;
+        # tests/test_int8.py pins the quantization error).
+        param_dtype=BENCH_DTYPE,
     )
     return model
 
@@ -103,19 +109,30 @@ def bench_engine(model, voice, batch: int) -> dict:
     def run():
         engine = TTSEngine(
             model, slots=batch, segment_frames=8, capacity=1024, text_pad=64,
-            emit_pcm16=True, warmup_frames=1,
+            emit_pcm16=True, warmup_frames=1, record_frame_times=True,
         )
         handles = [engine.submit(TEXT, voice, frames_after_eos=2) for _ in range(batch)]
         t0 = time.monotonic()
         engine.run(stop_when_idle=True)
         wall = time.monotonic() - t0
         total = sum(h.audio().shape[0] for h in handles) / SAMPLE_RATE
-        return total, wall
+        return engine, handles, total, wall
 
     run()  # warmup/compile
-    total_audio_sec, wall = run()
+    engine, handles, total_audio_sec, wall = run()
     aggregate_rtf = total_audio_sec / wall
-    return {"batch": batch, "aggregate_rtf": aggregate_rtf, "wall_sec": wall}
+    # Real-time deliverability: worst per-frame lateness vs an 80 ms player
+    # started at each stream's first frame (aggregate RTF alone does not
+    # prove streams never stall mid-playback).
+    worst = np.array([engine.frame_lateness(h).max() for h in handles])
+    return {
+        "batch": batch,
+        "aggregate_rtf": aggregate_rtf,
+        "wall_sec": wall,
+        "lateness_p50_ms": float(np.percentile(worst, 50) * 1000),
+        "lateness_p99_ms": float(np.percentile(worst, 99) * 1000),
+        "stalled_streams_3frame_buffer": int((worst > 3 * 0.08).sum()),
+    }
 
 
 def bench_batch(model, voice, batch: int) -> dict:
@@ -156,11 +173,16 @@ def main() -> None:
         "vs_baseline": round(single["rtf"] / 30.0, 3),
         "extra": {
             "platform": platform,
-            "param_dtype": "bfloat16",
+            "param_dtype": BENCH_DTYPE,
             "ttfa_p50_ms": round(ttfa["p50_ms"], 1),
             "batch64_aggregate_rtf": round(batch["aggregate_rtf"], 1),
             "batch64_realtime_streams": round(batch["realtime_streams"], 1),
             "engine64_aggregate_rtf": round(engine["aggregate_rtf"], 1),
+            "engine64_lateness_p50_ms": round(engine["lateness_p50_ms"], 1),
+            "engine64_lateness_p99_ms": round(engine["lateness_p99_ms"], 1),
+            "engine64_stalled_streams_3frame_buffer": engine[
+                "stalled_streams_3frame_buffer"
+            ],
             "single_audio_sec": round(single["audio_sec"], 2),
             "single_stream_rtf_best": round(single["rtf_best"], 2),
             "targets": {"single_stream_rtf": 30.0, "streams": 64, "ttfa_p50_ms": 250.0},

@@ -62,15 +62,21 @@ def initial_carry(flow_lm: FlowLMModel, batch: int, frames_after_eos, max_gen) -
 
     `step` is per-stream so the continuous-batching engine can admit new
     streams mid-flight; `tick` is the global frame counter used only for RNG
-    folding (equal to step for whole-batch generation)."""
+    folding (equal to step for whole-batch generation).
+
+    Leaves are host (numpy) arrays: they upload once at the first jit call
+    boundary instead of costing seven eager device dispatches per utterance
+    (material through the relay's per-dispatch latency)."""
+    import numpy as np
+
     return {
-        "latent": jnp.zeros((batch, flow_lm.ldim), dtype=jnp.float32),
-        "is_bos": jnp.ones((batch,), dtype=jnp.bool_),
-        "eos_step": jnp.full((batch,), 2**30, dtype=jnp.int32),
-        "step": jnp.zeros((batch,), dtype=jnp.int32),
-        "tick": jnp.zeros((), dtype=jnp.int32),
-        "frames_after_eos": jnp.asarray(frames_after_eos, dtype=jnp.int32),
-        "max_gen": jnp.asarray(max_gen, dtype=jnp.int32),
+        "latent": np.zeros((batch, flow_lm.ldim), dtype=np.float32),
+        "is_bos": np.ones((batch,), dtype=np.bool_),
+        "eos_step": np.full((batch,), 2**30, dtype=np.int32),
+        "step": np.zeros((batch,), dtype=np.int32),
+        "tick": np.zeros((), dtype=np.int32),
+        "frames_after_eos": np.asarray(frames_after_eos, dtype=np.int32),
+        "max_gen": np.asarray(max_gen, dtype=np.int32),
     }
 
 

@@ -706,12 +706,18 @@ class TTSModel:
 
         t_generating = time.monotonic()
         prefill = self._prefill_jit(B, t_pad, capacity)["tokens"]
-        flow_state = prefill(self.params, tree, jnp.asarray(tokens), jnp.asarray(lengths))
+        # np arrays upload at the call boundary (no separate eager transfers).
+        flow_state = prefill(self.params, tree, tokens, lengths)
 
         carry = initial_carry(self.flow_lm, B, frames_after_eos, max_gen)
         rng = self._next_rng()
-        temp = jnp.float32(self.temp)
-        eos_threshold = jnp.float32(self.eos_threshold)
+        # Cached device scalars: no per-utterance transfer for constants.
+        const_key = ("consts", self.temp, self.eos_threshold)
+        consts = self._jit_cache.get(const_key)
+        if consts is None:
+            consts = (jnp.float32(self.temp), jnp.float32(self.eos_threshold))
+            self._jit_cache[const_key] = consts
+        temp, eos_threshold = consts
 
         def schedule_iter():
             if bulk:
@@ -751,6 +757,7 @@ class TTSModel:
         dispatched = 0
         exhausted = False
         total_emitted_samples = 0
+        eos_step_fetched = None
 
         while True:
             while not exhausted and len(in_flight) <= lookahead:
@@ -769,8 +776,12 @@ class TTSModel:
             if not in_flight:
                 break
             if bulk:
-                # One transfer for the whole utterance.
-                fetched = jax.device_get([(a, e) for _, a, e, _ in in_flight])
+                # One transfer for the whole utterance — including the final
+                # eos_step the epilogue needs (a separate device_get after the
+                # loop would cost one more relay round-trip).
+                fetched, eos_step_fetched = jax.device_get(
+                    ([(a, e) for _, a, e, _ in in_flight], carry["eos_step"])
+                )
                 segs = [seg for seg, *_ in in_flight]
                 in_flight = []
                 done = True
@@ -792,7 +803,11 @@ class TTSModel:
         # min(eos_step + frames_after_eos + 1, max_gen) steps per stream in the
         # reference loop (tts_model.py:402-412); rewind positions past any
         # extra masked steps and invalidate the cache slots they wrote.
-        eos_step_np = np.asarray(jax.device_get(carry["eos_step"]))
+        eos_step_np = (
+            np.asarray(eos_step_fetched)
+            if eos_step_fetched is not None
+            else np.asarray(jax.device_get(carry["eos_step"]))
+        )
         steps_entered = np.minimum(
             np.minimum(eos_step_np + np.asarray(frames_after_eos) + 1, np.asarray(max_gen)),
             dispatched,

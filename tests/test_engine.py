@@ -211,3 +211,19 @@ def test_engine_cancel_while_queued(model, voice):
     engine.run(stop_when_idle=True)
     assert h1.audio().shape[0] > 0
     assert h2.done and h2.audio().shape[0] == 0
+
+
+def test_engine_frame_times_and_lateness(model, voice):
+    from pocket_tts_tpu.serving.engine import TTSEngine
+
+    engine = TTSEngine(model, slots=2, segment_frames=4, capacity=256,
+                       text_pad=32, record_frame_times=True)
+    h = engine.submit("One two three.", voice, frames_after_eos=1)
+    engine.run(stop_when_idle=True)
+    audio = h.audio()
+    n_frames = audio.shape[0] // 1920
+    assert len(h.frame_times) == n_frames > 0
+    assert all(b >= a for a, b in zip(h.frame_times, h.frame_times[1:]))
+    lateness = engine.frame_lateness(h)
+    assert lateness.shape == (n_frames,)
+    assert lateness[0] == 0.0  # playback clock starts at the first frame
