@@ -38,19 +38,27 @@ SAMPLE_RATE = 24_000
 FRAME = 1920
 
 
-BENCH_DTYPE = os.environ.get("POCKET_TTS_BENCH_DTYPE", "int8")
+# Per-regime serving dtype (measured on v5e, see BENCHMARKS.md):
+#  - single stream (B=1) is HBM-bandwidth/latency bound -> weight-only int8
+#    on the per-frame FlowLM reads wins (~15% per frame over bf16).
+#  - batch-64 is MXU-bound -> plain bf16 wins (int8's dequant-to-bf16 costs
+#    compute; bandwidth is amortized over the batch).
+# Overridable for A/B runs: POCKET_TTS_BENCH_DTYPE forces one dtype for all.
+_FORCED = os.environ.get("POCKET_TTS_BENCH_DTYPE")
+SINGLE_DTYPE = _FORCED or "int8"
+BATCH_DTYPE = _FORCED or "bfloat16"
 
 
-def _build_model():
+def _build_model(param_dtype: str):
     from pocket_tts_tpu.models.tts_model import TTSModel
 
     model = TTSModel.load_model(
         eos_threshold=1e9,  # random weights: disable EOS so runs are full-length
         matmul_precision="default",
-        # Serving config: bf16 weights/KV with fp32 islands, plus weight-only
-        # int8 on the per-frame FlowLM reads (see models/weights.quantize_int8;
-        # tests/test_int8.py pins the quantization error).
-        param_dtype=BENCH_DTYPE,
+        # Serving config: bf16 weights/KV with fp32 islands; optionally
+        # weight-only int8 on the per-frame FlowLM reads (see
+        # models/weights.quantize_int8; tests/test_int8.py pins the error).
+        param_dtype=param_dtype,
     )
     return model
 
@@ -100,31 +108,41 @@ def bench_ttfa(model, voice, runs: int = 5) -> dict:
     return {"p50_ms": ttfas[len(ttfas) // 2] * 1000, "min_ms": ttfas[0] * 1000}
 
 
-def bench_engine(model, voice, batch: int) -> dict:
+def bench_engine(model, voice, batch: int, bursts: int = 3) -> dict:
     """Streaming-server mode (BASELINE config #5): the continuous-batching
-    engine with `batch` slots, on-device PCM16 emission. Includes request
-    admission + prefill in the timed window (a cold 64-request burst)."""
+    engine with `batch` slots, on-device PCM16 emission.
+
+    One engine instance serves all bursts (a real server traces/compiles its
+    programs once at startup, then serves forever). Each timed window is a
+    COLD `batch`-request burst on the warm engine — admission, prefill,
+    decode, delivery, and KV compaction (the write index carries across
+    bursts, so later bursts pay it) are all inside the window. The first
+    burst warms jit tracing/compilation and is discarded; the headline is
+    the median of the remaining bursts."""
     from pocket_tts_tpu.serving.engine import TTSEngine
 
-    def run():
-        engine = TTSEngine(
-            model, slots=batch, segment_frames=8, capacity=1024, text_pad=64,
-            emit_pcm16=True, warmup_frames=1, record_frame_times=True,
-        )
+    engine = TTSEngine(
+        model, slots=batch, segment_frames=8, capacity=1024, text_pad=64,
+        emit_pcm16=True, warmup_frames=1, record_frame_times=True,
+    )
+
+    def burst():
         handles = [engine.submit(TEXT, voice, frames_after_eos=2) for _ in range(batch)]
         t0 = time.monotonic()
         engine.run(stop_when_idle=True)
         wall = time.monotonic() - t0
         total = sum(h.audio().shape[0] for h in handles) / SAMPLE_RATE
-        return engine, handles, total, wall
+        # Real-time deliverability: worst per-frame lateness vs an 80 ms
+        # player started at each stream's first frame (aggregate RTF alone
+        # does not prove streams never stall mid-playback).
+        worst = np.array([engine.frame_lateness(h).max() for h in handles])
+        return total / wall, wall, worst
 
-    run()  # warmup/compile
-    engine, handles, total_audio_sec, wall = run()
-    aggregate_rtf = total_audio_sec / wall
-    # Real-time deliverability: worst per-frame lateness vs an 80 ms player
-    # started at each stream's first frame (aggregate RTF alone does not
-    # prove streams never stall mid-playback).
-    worst = np.array([engine.frame_lateness(h).max() for h in handles])
+    burst()  # engine startup: jit tracing + compile (one-time, untimed)
+    results = [burst() for _ in range(bursts)]
+    results.sort(key=lambda r: r[0])
+    aggregate_rtf, wall, _ = results[len(results) // 2]
+    worst = np.concatenate([w for _, _, w in results])
     return {
         "batch": batch,
         "aggregate_rtf": aggregate_rtf,
@@ -158,11 +176,16 @@ def bench_batch(model, voice, batch: int) -> dict:
 
 def main() -> None:
     platform = jax.devices()[0].platform
-    model = _build_model()
+    model = _build_model(SINGLE_DTYPE)
     voice = _make_voice(model)
 
     single = bench_single_stream(model, voice)
     ttfa = bench_ttfa(model, voice)
+
+    if BATCH_DTYPE != SINGLE_DTYPE:
+        del model
+        model = _build_model(BATCH_DTYPE)
+        voice = _make_voice(model)
     batch = bench_batch(model, voice, batch=64)
     engine = bench_engine(model, voice, batch=64)
 
@@ -173,7 +196,7 @@ def main() -> None:
         "vs_baseline": round(single["rtf"] / 30.0, 3),
         "extra": {
             "platform": platform,
-            "param_dtype": BENCH_DTYPE,
+            "param_dtype": f"single={SINGLE_DTYPE},batch={BATCH_DTYPE}",
             "ttfa_p50_ms": round(ttfa["p50_ms"], 1),
             "batch64_aggregate_rtf": round(batch["aggregate_rtf"], 1),
             "batch64_realtime_streams": round(batch["realtime_streams"], 1),

@@ -50,20 +50,24 @@ def main() -> None:
     )
 
     for slots in args.slots:
+        # One engine per slot count; the first burst warms jit tracing and
+        # compilation (a server pays this once at startup), the second is
+        # the measured cold burst on the warm engine.
+        engine = TTSEngine(
+            model, slots=slots, segment_frames=8, capacity=args.capacity,
+            text_pad=64, emit_pcm16=True, warmup_frames=1,
+            record_frame_times=True,
+        )
+
         def run():
-            engine = TTSEngine(
-                model, slots=slots, segment_frames=8, capacity=args.capacity,
-                text_pad=64, emit_pcm16=True, warmup_frames=1,
-                record_frame_times=True,
-            )
             handles = [engine.submit(text, voice, frames_after_eos=2) for _ in range(slots)]
             t0 = time.monotonic()
             engine.run(stop_when_idle=True)
             wall = time.monotonic() - t0
-            return engine, handles, wall
+            return handles, wall
 
         run()  # warm/compile
-        engine, handles, wall = run()
+        handles, wall = run()
 
         worst = np.array([engine.frame_lateness(h).max() for h in handles])
         total_sec = sum(len(h.frame_times) for h in handles) * 0.08

@@ -29,10 +29,11 @@ def main() -> None:
     enable_compilation_cache()
     batches = [int(a) for a in sys.argv[1:]] or [1, 8, 16, 32, 64]
 
-    model = _build_model()
+    dtype = os.environ.get("POCKET_TTS_BENCH_DTYPE", "bfloat16")
+    model = _build_model(dtype)
     voice = _make_voice(model)
 
-    print(f"platform={jax.devices()[0].platform} dtype=bfloat16 text_tokens~{len(model.tokenizer.encode(TEXT))}")
+    print(f"platform={jax.devices()[0].platform} dtype={dtype} text_tokens~{len(model.tokenizer.encode(TEXT))}")
     for batch in batches:
         stacked = stack_states(model.flow_lm, [voice] * batch) if batch > 1 else voice
         texts = [TEXT] * batch

@@ -410,6 +410,25 @@ class TTSModel:
 
         return self._jit(("segment", B, S, capacity, lsd_steps, noise_clamp), build)
 
+    def _compact_jit(self, B: int, capacity: int, donate: bool = False):
+        """Jitted KV compaction (flow_lm.compact_state is ~20 eager gather /
+        argsort dispatches otherwise — slow enough on a remote runtime to
+        stall live streams; the engine precompiles this at startup).
+
+        `donate` frees the old cache in place (engine-owned state); the plain
+        API keeps donate=False because the input tree may be aliased by a
+        caller-held voice state."""
+
+        def build():
+            flow_lm = self.flow_lm
+
+            def fn(state, new_written):
+                return flow_lm.compact_state(state, new_written)
+
+            return jax.jit(fn, donate_argnums=(0,) if donate else ())
+
+        return self._jit(("compact", B, capacity, donate), build)
+
     def _encode_audio_jit(self, B: int, T: int):
         def build():
             mimi = self.mimi
@@ -673,7 +692,9 @@ class TTSModel:
             if compact_written < model_state.written and _bucket(required_after) < _bucket(
                 required
             ):
-                tree = self.flow_lm.compact_state(tree, compact_written)
+                tree = self._compact_jit(B, capacity_now)(
+                    tree, jnp.int32(compact_written)
+                )
                 model_state.tree = tree
                 model_state.written = compact_written
                 required = required_after

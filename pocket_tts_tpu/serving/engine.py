@@ -137,6 +137,11 @@ class TTSEngine:
         self._retired_epochs: set[int] = set()
         self._voice_cache: dict = {}  # id(voice) -> capacity-expanded tree
         self._admit_jit = self._build_admit_fn()
+        # Jitted KV compaction, precompiled NOW (identity on the fresh state):
+        # left to compile lazily it would land mid-serving on the first
+        # compaction and stall every live stream for the compile duration.
+        self._compact_jit = model._compact_jit(B, capacity, donate=True)
+        self.flow_state = self._compact_jit(self.flow_state, jnp.int32(0))
 
         self._slots = [_Slot() for _ in range(B)]
         self._pending: "queue.Queue[tuple[RequestHandle, ModelState, int, int, list[int]]]" = (
@@ -412,7 +417,7 @@ class TTSEngine:
         logger.info("engine: compacting KV cache (written=%d)", self._written)
         # 8-sublane alignment; the write index is data, not a tensor shape.
         max_valid = -(-(max(self._pos) + 1) // 8) * 8
-        self.flow_state = self.model.flow_lm.compact_state(self.flow_state, max_valid)
+        self.flow_state = self._compact_jit(self.flow_state, jnp.int32(max_valid))
         self._written = max_valid
 
     # ------------------------------------------------------------ main loop

@@ -54,21 +54,34 @@ def test_continuation_compaction_stabilizes_jit_cache():
     text = "Hi."
     audio = model.generate_audio(state, text, copy_state=False, frames_after_eos=1)
     assert audio.shape[0] > 0
-    capacity_after_first = model.flow_lm.state_capacity(state.tree)
-    keys_after_first = set(model._jit_cache.keys())
 
     naive_written = state.written
-    for _ in range(6):
+    capacities = [model.flow_lm.state_capacity(state.tree)]
+    key_snapshots = []
+    for _ in range(12):
         audio = model.generate_audio(state, text, copy_state=False, frames_after_eos=1)
-        naive_written += 32 + 32  # t_pad + bulk dispatch budget, per call
+        naive_written += 32 + 64  # t_pad + bulk dispatch budget, per call
         assert audio.shape[0] > 0
+        capacities.append(model.flow_lm.state_capacity(state.tree))
+        key_snapshots.append(set(model._jit_cache.keys()))
 
-    assert model.flow_lm.state_capacity(state.tree) == capacity_after_first
-    new_keys = set(model._jit_cache.keys()) - keys_after_first
-    assert not new_keys, f"jit cache grew across continuations: {sorted(new_keys)}"
-    # ... while without compaction the session would have crossed buckets
-    assert naive_written > capacity_after_first
-    assert state.written <= capacity_after_first
+    # Without compaction the cumulative write index would have crossed many
+    # capacity buckets; compacted, capacity tracks the VALID history (which
+    # this always-EOS session grows by only a few positions per call).
+    final_capacity = capacities[-1]
+    assert naive_written > 2 * final_capacity
+    assert final_capacity <= 256  # 13 calls x ~5 valid positions + headroom
+    assert state.written <= final_capacity
+
+    # jit programs are keyed by capacity bucket: once the bucket settles (it
+    # may step up once when valid history outgrows the first bucket), the
+    # cache must stop growing — compile count is bounded by buckets touched,
+    # never by session length.
+    assert len(set(capacities)) <= 2, f"capacity thrashing: {capacities}"
+    settle = capacities.index(final_capacity)
+    assert key_snapshots[-1] == key_snapshots[max(settle, len(key_snapshots) - 8)], (
+        "jit cache kept growing after the capacity bucket settled"
+    )
 
 
 def test_continuation_output_unaffected_by_compaction(model):
