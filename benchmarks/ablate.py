@@ -1,0 +1,153 @@
+"""Marginal per-frame cost of each decode-step phase, measured by ablation.
+
+step_breakdown.py measures each phase standalone, but standalone scans fuse
+and donate differently from the production program, so the parts can sum to
+more than the whole. Here each variant IS the production segment with one
+phase stubbed out; (full - ablated) is the marginal cost of that phase in
+context:
+
+  - noflow: lsd_decode replaced by the raw noise draw (flow head skipped)
+  - nomimi: vocoder skipped (audio = zeros); scan + backbone + flow remain
+  - nobackbone: transformer step replaced by a cheap projection of the
+    latent (KV caches untouched); flow head runs on that fake hidden state
+
+Usage: python benchmarks/ablate.py [--dtype int8] [--S 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from pathlib import Path
+
+os.environ.setdefault("POCKET_TTS_OFFLINE", "1")
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+
+def build_segment(flow_lm, mimi, lsd_steps, noise_clamp, S, unroll, ablate):
+    from pocket_tts_tpu.models.generate import decode_mimi_chunk
+    from pocket_tts_tpu.ops.linear import linear
+    from pocket_tts_tpu.ops.norms import layer_norm
+    from pocket_tts_tpu.ops.sampling import lsd_decode, sample_noise
+
+    transformer = flow_lm.transformer
+    flow_net = flow_lm.flow_net
+
+    def fn(params, flow_state, mimi_state, carry, rng, temp, eos_threshold):
+        fp = params["flow_lm"]
+
+        def step(loop_carry, _):
+            st, c = loop_carry
+            rng_i = jax.random.fold_in(rng, c["tick"])
+            B = c["latent"].shape[0]
+            seq = jnp.where(
+                c["is_bos"][:, None], fp["bos_emb"][None, :].astype(c["latent"].dtype),
+                c["latent"],
+            )
+            if ablate == "nobackbone":
+                h = jnp.tanh(linear(seq, fp["input_linear"]["weight"])).astype(jnp.float32)
+                tstate = st["transformer"]
+            else:
+                x = linear(seq[:, None, :], fp["input_linear"]["weight"])
+                h, tstate = transformer(
+                    fp["transformer"], x, st["transformer"], st["pos"][:, None]
+                )
+                h = layer_norm(
+                    h, fp["out_norm"]["weight"], fp["out_norm"]["bias"], eps=1e-5
+                ).astype(jnp.float32)[:, -1]
+            noise = sample_noise(rng_i, (B, flow_lm.ldim), temp, noise_clamp)
+            if ablate == "noflow":
+                nxt = noise + h[:, : flow_lm.ldim] * 1e-6  # keep h live
+            else:
+                nxt = lsd_decode(lambda s, t, xc: flow_net(fp["flow_net"], h, s, t, xc),
+                                 noise, lsd_steps)
+            new_c = {**c, "latent": nxt, "is_bos": jnp.zeros_like(c["is_bos"]),
+                     "step": c["step"] + 1, "tick": c["tick"] + 1}
+            return ({"transformer": tstate, "pos": st["pos"] + 1}, new_c), nxt
+
+        (flow_state, carry), latents = jax.lax.scan(
+            step, (flow_state, carry), None, length=S, unroll=unroll
+        )
+        latents = jnp.transpose(latents, (1, 0, 2))
+        if ablate == "nomimi":
+            audio = jnp.zeros(
+                (latents.shape[0], S, mimi.frame_size), jnp.float32
+            ) + latents.sum() * 0
+        else:
+            audio, mimi_state = decode_mimi_chunk(
+                fp, params["mimi"], mimi, latents, mimi_state
+            )
+        return flow_state, mimi_state, carry, audio
+
+    return fn
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dtype", default="int8")
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--S", type=int, default=32)
+    ap.add_argument("--segments", type=int, default=8)
+    ap.add_argument("--capacity", type=int, default=1024)
+    ap.add_argument("--unroll", type=int, default=4)
+    args = ap.parse_args()
+
+    from pocket_tts_tpu.models.generate import initial_carry
+    from pocket_tts_tpu.models.tts_model import TTSModel, enable_compilation_cache
+
+    enable_compilation_cache()
+    model = TTSModel.load_model(
+        eos_threshold=1e9, param_dtype=args.dtype, matmul_precision="default"
+    )
+    flow_lm, mimi = model.flow_lm, model.mimi
+    B, S = args.batch, args.S
+    params = model.params
+    prompt = jax.random.normal(jax.random.PRNGKey(0), (B, 125, flow_lm.dim), jnp.float32) * 0.02
+    lengths = jnp.full((B,), 125, jnp.int32)
+    rng = jax.random.PRNGKey(1)
+    temp, thr = jnp.float32(0.7), jnp.float32(1e9)
+
+    results = {}
+    for ablate in (None, "noflow", "nomimi", "nobackbone"):
+        fn = jax.jit(
+            build_segment(flow_lm, mimi, model.lsd_decode_steps, model.noise_clamp,
+                          S, args.unroll, ablate),
+            donate_argnums=(1, 2, 3),
+        )
+        state0 = flow_lm.init_state(B, args.capacity, dtype=model.state_dtype)
+        flow_state = jax.jit(flow_lm.prefill)(params["flow_lm"], state0, prompt, lengths)
+        mimi_state = mimi.init_decode_state(B, kv_dtype=model.state_dtype, max_chunk_frames=S)
+        carry = initial_carry(flow_lm, B, [10**6] * B, [10**6] * B)
+
+        def chain(n):
+            nonlocal flow_state, mimi_state, carry
+            last = None
+            for _ in range(n):
+                flow_state, mimi_state, carry, audio = fn(
+                    params, flow_state, mimi_state, carry, rng, temp, thr
+                )
+                last = audio
+            return float(jax.device_get(jnp.sum(last[:, -1, -8:])))
+
+        chain(2)
+        t0 = time.monotonic()
+        chain(args.segments)
+        ms = (time.monotonic() - t0) * 1000 / (args.segments * S)
+        results[ablate or "full"] = ms
+        print(f"{ablate or 'full':12s} {ms:.3f} ms/frame", flush=True)
+
+    full = results["full"]
+    print(
+        f"marginal (ms/frame): flow={full - results['noflow']:.3f} "
+        f"mimi={full - results['nomimi']:.3f} "
+        f"backbone={full - results['nobackbone']:.3f}"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -174,8 +174,14 @@ class FlowLMModel:
         lsd_decode_steps: int,
         noise_clamp: Optional[float],
         eos_threshold: jnp.ndarray | float,
+        noise: Optional[jnp.ndarray] = None,
     ) -> tuple[State, jnp.ndarray, jnp.ndarray]:
-        """One autoregressive step -> (state, next_latent [B, ldim], is_eos [B])."""
+        """One autoregressive step -> (state, next_latent [B, ldim], is_eos [B]).
+
+        `noise` optionally supplies the pre-drawn flow-ODE starting noise
+        [B, ldim] (the fused segment vectorizes the threefry draws for all S
+        frames of a segment in ONE op before its scan — bitwise identical to
+        drawing from `rng` here, but off the serial per-frame path)."""
         B = latent.shape[0]
         seq = jnp.where(is_bos[:, None], params["bos_emb"][None, :].astype(latent.dtype), latent)
         x = linear(seq[:, None, :], params["input_linear"]["weight"])  # [B, 1, dim]
@@ -191,7 +197,8 @@ class FlowLMModel:
         eos_logits = linear(h, params["out_eos"]["weight"], params["out_eos"]["bias"])[:, 0]
         is_eos = eos_logits > eos_threshold
 
-        noise = sample_noise(rng, (B, self.ldim), temp, noise_clamp)
+        if noise is None:
+            noise = sample_noise(rng, (B, self.ldim), temp, noise_clamp)
         flow = self.flow_net
 
         def v_t(s, t, x_cur):

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from pocket_tts_tpu.models.flow_lm import FlowLMModel
 from pocket_tts_tpu.models.mimi import MimiModel
+from pocket_tts_tpu.ops.sampling import sample_noise
 
 
 def decode_mimi_chunk(flow_params, mimi_params, mimi, latents, mimi_state):
@@ -87,6 +88,7 @@ def make_segment_fn(
     noise_clamp: Optional[float],
     segment_frames: int,
     unroll: int = 1,
+    emit_pcm16: bool = False,
 ):
     """Build the pure segment function.
 
@@ -95,27 +97,44 @@ def make_segment_fn(
 
     `rng` is the per-generation key; each frame folds in the absolute step
     index, so outputs are independent of how frames are grouped into segments.
+
+    emit_pcm16 converts the audio to int16 PCM on device (inside the same
+    program — no extra dispatch), halving device->host bytes per segment;
+    that conversion is what a 16-bit WAV writer would apply anyway.
     """
 
     def fn(params, flow_state, mimi_state, carry, rng, temp, eos_threshold):
         flow_params = params["flow_lm"]
         mimi_params = params["mimi"]
 
+        # Hoist the flow-ODE starting noise for ALL S frames out of the scan:
+        # one vectorized threefry draw [S, B, ldim] instead of S serial
+        # fold_in+normal kernels on the per-frame critical path. Bitwise
+        # identical to drawing inside the step (same fold_in(rng, tick+i)
+        # then per-stream fold_in inside sample_noise).
+        B = carry["latent"].shape[0]
+        frame_keys = jax.vmap(lambda i: jax.random.fold_in(rng, carry["tick"] + i))(
+            jnp.arange(segment_frames)
+        )
+        noise_seq = jax.vmap(
+            lambda k: sample_noise(k, (B, flow_lm.ldim), temp, noise_clamp)
+        )(frame_keys)
+
         # Phase 1: the autoregressive FlowLM scan. Only the latent feedback is
         # sequential; the vocoder is not, so it stays OUT of the scan body.
-        def step(loop_carry, _):
+        def step(loop_carry, noise_i):
             flow_state, c = loop_carry
-            rng_i = jax.random.fold_in(rng, c["tick"])
             flow_state, next_latent, is_eos = flow_lm.decode_step(
                 flow_params,
                 flow_state,
                 c["latent"],
                 c["is_bos"],
-                rng_i,
+                rng,  # unused: noise is pre-drawn
                 temp,
                 lsd_decode_steps,
                 noise_clamp,
                 eos_threshold,
+                noise=noise_i,
             )
             eos_step = jnp.where(is_eos, jnp.minimum(c["eos_step"], c["step"]), c["eos_step"])
             emit = (c["step"] < eos_step + c["frames_after_eos"]) & (c["step"] < c["max_gen"])
@@ -132,8 +151,7 @@ def make_segment_fn(
             return (flow_state, new_c), (next_latent, emit)
 
         (flow_state, carry), (latents, emit) = jax.lax.scan(
-            step, (flow_state, carry), None, length=segment_frames,
-            unroll=unroll,
+            step, (flow_state, carry), noise_seq, unroll=unroll,
         )
 
         # Phase 2: vocode the whole segment in one streaming chunk (16*S codec
@@ -142,6 +160,8 @@ def make_segment_fn(
         audio, mimi_state = decode_mimi_chunk(
             flow_params, mimi_params, mimi, latents, mimi_state
         )
+        if emit_pcm16:
+            audio = (jnp.clip(audio, -1.0, 1.0) * 32767.0).astype(jnp.int16)
 
         steps_target = jnp.minimum(
             carry["eos_step"] + carry["frames_after_eos"] + 1, carry["max_gen"]

@@ -151,6 +151,7 @@ class TTSModel:
         config: Config,
         seed: int = 0,
         matmul_precision: str = "default",
+        transfer_pcm16: bool = False,
     ):
         self.flow_lm = flow_lm
         self.mimi = mimi
@@ -178,6 +179,11 @@ class TTSModel:
         self.has_voice_cloning = True
         self.random_init = False  # set when no checkpoint was reachable
         self.matmul_precision = matmul_precision
+        # Serving knob: move audio device->host as int16 PCM (half the bytes;
+        # identical to what a 16-bit WAV writer would apply). The public API
+        # still returns float32 — the host widens after the transfer — so the
+        # only difference vs the default is 16-bit amplitude rounding.
+        self.transfer_pcm16 = bool(transfer_pcm16)
         self._rng = jax.random.PRNGKey(seed)
         self.state_dtype = jnp.float32  # KV caches / ring buffers
         self._jit_cache: Dict = {}
@@ -214,6 +220,7 @@ class TTSModel:
         param_dtype: str = "float32",
         matmul_precision: str = "default",
         allow_random_init: bool = True,
+        transfer_pcm16: bool = False,
     ) -> "TTSModel":
         """Create a TTSModel and load checkpoint weights.
 
@@ -264,6 +271,7 @@ class TTSModel:
             config=cfg,
             seed=seed,
             matmul_precision=matmul_precision,
+            transfer_pcm16=transfer_pcm16,
         )
         model._load_weights(cfg, jnp.float32, allow_random_init)
         if serving_dtype != jnp.float32:
@@ -399,7 +407,8 @@ class TTSModel:
             # larger steady-state segments only.
             unroll = 4 if S >= 16 else (2 if S >= 8 else 1)
             inner = make_segment_fn(
-                self.flow_lm, self.mimi, lsd_steps, noise_clamp, S, unroll=unroll
+                self.flow_lm, self.mimi, lsd_steps, noise_clamp, S, unroll=unroll,
+                emit_pcm16=self.transfer_pcm16,
             )
 
             def fn(params, flow_state, mimi_state, carry, rng, temp, eos_threshold):
@@ -408,7 +417,9 @@ class TTSModel:
 
             return jax.jit(fn, donate_argnums=(1, 2, 3))
 
-        return self._jit(("segment", B, S, capacity, lsd_steps, noise_clamp), build)
+        return self._jit(
+            ("segment", B, S, capacity, lsd_steps, noise_clamp, self.transfer_pcm16), build
+        )
 
     def _compact_jit(self, B: int, capacity: int, donate: bool = False):
         """Jitted KV compaction (flow_lm.compact_state is ~20 eager gather /
@@ -812,6 +823,8 @@ class TTSModel:
                 fetched = [(audio_np, emit_np)]
                 segs = [seg]
             for seg, (audio_np, emit_np) in zip(segs, fetched):
+                if audio_np.dtype == np.int16:  # transfer_pcm16: widen on host
+                    audio_np = audio_np.astype(np.float32) / 32767.0
                 for s in range(seg):
                     if not emit_np[:, s].any():
                         continue

@@ -154,6 +154,10 @@ class TTSEngine:
             make_segment_fn(
                 flow_lm, mimi, model.lsd_decode_steps, model.noise_clamp, segment_frames,
                 unroll=2 if segment_frames >= 8 else 1,
+                # On-device float32 -> int16 conversion inside the segment
+                # program halves the device->host audio bytes per tick (the
+                # server writes PCM16 anyway) at zero extra dispatches.
+                emit_pcm16=emit_pcm16,
             ),
             donate_argnums=(1, 2, 3),
         )
@@ -161,11 +165,6 @@ class TTSEngine:
         # batch-common widx scalar is shared across layers after admission),
         # and XLA rejects donating one buffer twice.
         self._prefill = jax.jit(self._prefill_fn)
-        # Optional on-device float32 -> int16 conversion halves the
-        # device->host audio bytes per tick (the server writes PCM16 anyway).
-        self._to_pcm16 = jax.jit(
-            lambda a: (jnp.clip(a, -1.0, 1.0) * 32767.0).astype(jnp.int16)
-        )
         self._silence_lane = jax.jit(
             lambda c, b: {**c, "max_gen": jax.lax.dynamic_update_slice(
                 c["max_gen"], jnp.zeros((1,), c["max_gen"].dtype), (b,)
@@ -498,8 +497,6 @@ class TTSEngine:
             if handles[b] is not None:
                 self._pos[b] += self.segment_frames
 
-        if self.emit_pcm16:
-            audio = self._to_pcm16(audio)
         # Snapshot the carry fields needed for delivery into fresh buffers:
         # the NEXT dispatch donates self.carry, which would delete these.
         eos_step, step, fae, max_gen = self._snapshot(self.carry)

@@ -263,3 +263,20 @@ def test_capacity_growth_across_continuations(model, voice):
     assert model.flow_lm.state_capacity(work.tree) >= cap0
     # positions never exceed the written mirror
     assert work.pos[0] <= work.written
+
+
+def test_transfer_pcm16_matches_float_path(model, voice):
+    """transfer_pcm16=True moves audio device->host as int16 (half the
+    bytes); the public API still returns float32 equal to the default path
+    up to one 16-bit quantization step."""
+    model._rng = jax.random.PRNGKey(33)
+    ref = model.generate_audio(voice, "Quantized transfer check.", frames_after_eos=2)
+    try:
+        model.transfer_pcm16 = True
+        model._rng = jax.random.PRNGKey(33)
+        q = model.generate_audio(voice, "Quantized transfer check.", frames_after_eos=2)
+    finally:
+        model.transfer_pcm16 = False
+    assert q.dtype == np.float32
+    assert q.shape == ref.shape
+    np.testing.assert_allclose(q, np.clip(ref, -1.0, 1.0), atol=1.0 / 32767.0)
