@@ -41,10 +41,18 @@ def build_segment(flow_lm, mimi, lsd_steps, noise_clamp, S, unroll, ablate):
     def fn(params, flow_state, mimi_state, carry, rng, temp, eos_threshold):
         fp = params["flow_lm"]
 
-        def step(loop_carry, _):
+        # Mirror production (models/generate.py): noise for all S frames is
+        # pre-drawn in one vectorized op and fed through scan xs.
+        B0 = carry["latent"].shape[0]
+        frame_keys = jax.vmap(lambda i: jax.random.fold_in(rng, carry["tick"] + i))(
+            jnp.arange(S)
+        )
+        noise_seq = jax.vmap(
+            lambda k: sample_noise(k, (B0, flow_lm.ldim), temp, noise_clamp)
+        )(frame_keys)
+
+        def step(loop_carry, noise):
             st, c = loop_carry
-            rng_i = jax.random.fold_in(rng, c["tick"])
-            B = c["latent"].shape[0]
             seq = jnp.where(
                 c["is_bos"][:, None], fp["bos_emb"][None, :].astype(c["latent"].dtype),
                 c["latent"],
@@ -60,7 +68,6 @@ def build_segment(flow_lm, mimi, lsd_steps, noise_clamp, S, unroll, ablate):
                 h = layer_norm(
                     h, fp["out_norm"]["weight"], fp["out_norm"]["bias"], eps=1e-5
                 ).astype(jnp.float32)[:, -1]
-            noise = sample_noise(rng_i, (B, flow_lm.ldim), temp, noise_clamp)
             if ablate == "noflow":
                 nxt = noise + h[:, : flow_lm.ldim] * 1e-6  # keep h live
             else:
@@ -71,7 +78,7 @@ def build_segment(flow_lm, mimi, lsd_steps, noise_clamp, S, unroll, ablate):
             return ({"transformer": tstate, "pos": st["pos"] + 1}, new_c), nxt
 
         (flow_state, carry), latents = jax.lax.scan(
-            step, (flow_state, carry), None, length=S, unroll=unroll
+            step, (flow_state, carry), noise_seq, unroll=unroll
         )
         latents = jnp.transpose(latents, (1, 0, 2))
         if ablate == "nomimi":
@@ -87,6 +94,12 @@ def build_segment(flow_lm, mimi, lsd_steps, noise_clamp, S, unroll, ablate):
     return fn
 
 
+def _timed(chain, segments) -> float:
+    t0 = time.monotonic()
+    chain(segments)
+    return time.monotonic() - t0
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--dtype", default="int8")
@@ -95,6 +108,7 @@ def main() -> None:
     ap.add_argument("--segments", type=int, default=8)
     ap.add_argument("--capacity", type=int, default=1024)
     ap.add_argument("--unroll", type=int, default=4)
+    ap.add_argument("--repeats", type=int, default=5)
     args = ap.parse_args()
 
     from pocket_tts_tpu.models.generate import initial_carry
@@ -135,11 +149,15 @@ def main() -> None:
             return float(jax.device_get(jnp.sum(last[:, -1, -8:])))
 
         chain(2)
-        t0 = time.monotonic()
-        chain(args.segments)
-        ms = (time.monotonic() - t0) * 1000 / (args.segments * S)
+        # Repeat and take the min: the relay adds one-sided heavy-tailed
+        # latency noise big enough to flip marginal signs on single chains.
+        best = min(
+            _timed(chain, args.segments) for _ in range(args.repeats)
+        )
+        ms = best * 1000 / (args.segments * S)
         results[ablate or "full"] = ms
-        print(f"{ablate or 'full':12s} {ms:.3f} ms/frame", flush=True)
+        print(f"{ablate or 'full':12s} {ms:.3f} ms/frame (best of {args.repeats})",
+              flush=True)
 
     full = results["full"]
     print(

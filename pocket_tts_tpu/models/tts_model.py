@@ -25,6 +25,7 @@ per-frame Python loop with a device sync every frame, tts_model.py:402-428):
 from __future__ import annotations
 
 import logging
+import os
 
 import time
 from pathlib import Path
@@ -72,8 +73,6 @@ _BULK_SEGMENT_FRAMES = 32
 def enable_compilation_cache(path: str = "~/.cache/pocket_tts/jax_cache") -> None:
     """Persist compiled executables across processes (first jit of the fused
     decode graph can take minutes on remote-compile backends)."""
-    import os
-
     cache_dir = os.path.expanduser(path)
     os.makedirs(cache_dir, exist_ok=True)
     try:
@@ -273,6 +272,11 @@ class TTSModel:
             matmul_precision=matmul_precision,
             transfer_pcm16=transfer_pcm16,
         )
+        # Persist compiled executables across processes by default: a cold
+        # CLI run otherwise pays every jit compile again (minutes on
+        # remote-compile backends). POCKET_TTS_NO_COMPILE_CACHE=1 opts out.
+        if os.environ.get("POCKET_TTS_NO_COMPILE_CACHE", "0") in ("0", "", "false"):
+            enable_compilation_cache()
         model._load_weights(cfg, jnp.float32, allow_random_init)
         if serving_dtype != jnp.float32:
             model.params = cast_serving_dtype(model.params, serving_dtype)
@@ -281,6 +285,17 @@ class TTSModel:
             from pocket_tts_tpu.models.weights import quantize_int8
 
             model.params = quantize_int8(model.params)
+            from pocket_tts_tpu.ops.fused_backbone import (
+                fused_backbone_enabled,
+                pack_backbone_int8,
+            )
+
+            if fused_backbone_enabled() and jax.devices()[0].platform == "tpu":
+                # Whole-backbone Pallas decode kernel (B=1): stash the packed
+                # uniform-chunk weight layout alongside the params so the
+                # jitted step streams it directly (ops/fused_backbone.py).
+                t = model.params["flow_lm"]["transformer"]
+                t["fused"] = pack_backbone_int8(t["layers"])
         logger.info(
             "TTS Model loaded successfully. Size ~%d MB",
             size_of_pytree(model.params) // 1_000_000,

@@ -203,6 +203,13 @@ class StreamingTransformer:
             jnp.maximum(positions, 0), self.d_model // self.num_heads, self.max_period
         )
         widx = state.get("widx")
+        if (
+            "fused" in params
+            and self.kind == "flow_lm"
+            and x.shape[0] == 1
+            and x.shape[1] == 1
+        ):
+            return self._fused_decode(params, x, state, positions, rope_cache, widx)
         new_layer_states = []
         for layer, l_params, l_state in zip(self.layers, params["layers"], state["layers"]):
             x, l_state = layer(l_params, x, l_state, positions, rope_cache=rope_cache, widx=widx)
@@ -211,6 +218,47 @@ class StreamingTransformer:
         if widx is not None:
             new_state["widx"] = widx + x.shape[1]
         return x, new_state
+
+    def _fused_decode(
+        self, params: Params, x, state: State, positions, rope_cache, widx
+    ) -> tuple[jnp.ndarray, State]:
+        """B=1, T=1 decode through the whole-backbone Pallas megakernel
+        (ops/fused_backbone.py). The cache append stays out here — one
+        in-place dynamic_update_slice per layer under donation — so states
+        keep the exact layout of the XLA path."""
+        from jax import lax
+
+        from pocket_tts_tpu.ops.fused_backbone import fused_backbone_decode
+
+        cos, sin = rope_cache  # [1, 1, 1, d/2]
+        layers = state["layers"]
+        y, k_new, v_new = fused_backbone_decode(
+            params["fused"],
+            x[:, 0, :],
+            tuple(l["k"] for l in layers),
+            tuple(l["v"] for l in layers),
+            layers[0]["slot_pos"],
+            positions[:, 0],
+            cos[0, 0, 0],
+            sin[0, 0, 0],
+            num_heads=self.num_heads,
+        )
+        new_layers = []
+        for i, l in enumerate(layers):
+            new_layers.append(
+                {
+                    "k": lax.dynamic_update_slice(
+                        l["k"], k_new[i][None, :, None, :], (0, 0, widx, 0)
+                    ),
+                    "v": lax.dynamic_update_slice(
+                        l["v"], v_new[i][None, :, None, :], (0, 0, widx, 0)
+                    ),
+                    "slot_pos": lax.dynamic_update_slice(
+                        l["slot_pos"], positions, (0, widx)
+                    ),
+                }
+            )
+        return y[:, None, :].astype(x.dtype), {"layers": new_layers, "widx": widx + 1}
 
     def forward(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
         for layer, l_params in zip(self.layers, params["layers"]):

@@ -1,0 +1,108 @@
+"""Parity tests for the whole-backbone Pallas decode megakernel
+(ops/fused_backbone.py) against the XLA oracle path, at the real model
+geometry (E=1024, H=16, L=6, FF=4096 — the kernel's chunking assumes it),
+in interpret mode on CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pocket_tts_tpu.models.weights import quantize_int8
+from pocket_tts_tpu.ops.fused_backbone import fused_backbone_decode, pack_backbone_int8
+from pocket_tts_tpu.ops.transformer import StreamingTransformer
+
+E, H, L, C = 1024, 16, 6, 256
+
+
+@pytest.fixture(scope="module")
+def setup():
+    t = StreamingTransformer(
+        d_model=E, num_heads=H, num_layers=L, dim_feedforward=4 * E, kind="flow_lm"
+    )
+    params = t.init_params(jax.random.PRNGKey(0))
+    # Quantize through the production path (wrap as a fake flow_lm tree).
+    q = quantize_int8(
+        {"flow_lm": {"transformer": params}}, subtrees=("transformer",)
+    )
+    qparams = q["flow_lm"]["transformer"]
+    packed = pack_backbone_int8(qparams["layers"])
+    state = t.init_state(1, C, dtype=jnp.bfloat16)
+    # Prefill a few positions through the oracle so caches are non-trivial.
+    emb = jax.random.normal(jax.random.PRNGKey(1), (1, 17, E), jnp.float32) * 0.3
+    pos = jnp.arange(17, dtype=jnp.int32)[None, :]
+    _, state = t(qparams, emb, state, pos)
+    return t, qparams, packed, state
+
+
+def test_kernel_matches_oracle_step(setup):
+    t, qparams, packed, state = setup
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 1, E), jnp.float32) * 0.5
+    positions = jnp.full((1, 1), 17, jnp.int32)
+
+    ref_out, ref_state = t(qparams, x, state, positions)
+
+    from pocket_tts_tpu.ops.rope import rope_angles
+
+    cos, sin = rope_angles(positions, E // H)
+    y, k_new, v_new = fused_backbone_decode(
+        packed,
+        x[:, 0, :],
+        tuple(l["k"] for l in state["layers"]),
+        tuple(l["v"] for l in state["layers"]),
+        state["layers"][0]["slot_pos"],
+        positions[:, 0],
+        cos[0, 0, 0],
+        sin[0, 0, 0],
+        num_heads=H,
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(y[0]), np.asarray(ref_out[0, 0]), rtol=0, atol=2e-2
+    )
+    # Appended cache rows must match what the oracle wrote at widx.
+    widx = int(state["widx"])
+    for i in range(L):
+        np.testing.assert_allclose(
+            np.asarray(k_new[i], np.float32),
+            np.asarray(ref_state["layers"][i]["k"][0, :, widx, :], np.float32),
+            atol=2e-2,
+        )
+        np.testing.assert_allclose(
+            np.asarray(v_new[i], np.float32),
+            np.asarray(ref_state["layers"][i]["v"][0, :, widx, :], np.float32),
+            atol=2e-2,
+        )
+
+
+def test_fused_path_wiring_matches_oracle(setup, monkeypatch):
+    """The `fused` params key routes T=1 B=1 decode through the kernel and
+    produces the same next state as the oracle."""
+    t, qparams, packed, state = setup
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 1, E), jnp.float32) * 0.5
+    positions = jnp.full((1, 1), 17, jnp.int32)
+
+    ref_out, ref_state = t(qparams, x, state, positions)
+
+    import pocket_tts_tpu.ops.fused_backbone as fb
+
+    orig = fb.fused_backbone_decode
+    monkeypatch.setattr(
+        fb, "fused_backbone_decode", lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    )
+    fused_params = {**qparams, "fused": packed}
+    out, new_state = t(fused_params, x, state, positions)
+
+    np.testing.assert_allclose(
+        np.asarray(out[0, 0]), np.asarray(ref_out[0, 0]), atol=2e-2
+    )
+    assert int(new_state["widx"]) == int(ref_state["widx"])
+    widx = int(state["widx"])
+    for i in range(L):
+        np.testing.assert_allclose(
+            np.asarray(new_state["layers"][i]["k"][0, :, widx, :], np.float32),
+            np.asarray(ref_state["layers"][i]["k"][0, :, widx, :], np.float32),
+            atol=2e-2,
+        )
+        sp = np.asarray(new_state["layers"][i]["slot_pos"])
+        np.testing.assert_array_equal(sp, np.asarray(ref_state["layers"][i]["slot_pos"]))
