@@ -79,26 +79,34 @@ def _layer_norm_f32(x, w, b, eps=1e-5):
     return c * jax.lax.rsqrt(var + eps) * w + b
 
 
-# Phase layout per layer (chunk = [E, E] int8, stored TRANSPOSED [in, out]):
-#   p=0,1,2 : q / k / v projection chunks            (weight chunks 0..2)
-#   p=3     : attention (no weight; index_map repeats chunk 2 -> no DMA)
-#   p=4     : out-projection chunk                   (chunk 3)
-#   p=5..8  : ff1 output-column chunks               (chunks 4..7)
-#   p=9..12 : ff2 contraction chunks                 (chunks 8..11)
-_PHASES = 13
+# Phase layout per layer. Weight chunks are [E, E] int8 stored TRANSPOSED
+# [in, out]; the grid streams them as PAIRS (a [1, 2, E, E] = 2 MiB block per
+# step) to halve the per-grid-step overhead vs one chunk per step:
+#   p=0 : pair 0 = (q, k)        -> ln1, q/k projections + RoPE
+#   p=1 : pair 1 = (v, out_proj) -> v projection
+#   p=2 : pair 1 resident (no DMA) -> attention, out-projection, residual, ln2
+#   p=3 : pair 2 = (ff1a, ff1b)  -> first half of the FF hidden
+#   p=4 : pair 3 = (ff1c, ff1d)  -> second half
+#   p=5 : pair 4 = (ff2a, ff2b)  -> FF output accumulation
+#   p=6 : pair 5 = (ff2c, ff2d)  -> rest + scale + residual (+ y at last layer)
+_PHASES = 7
 _NCHUNK = 12
 
+# Static scale-row ids (chunk order in pack_backbone_int8)
+_SQ, _SK, _SV, _SOUT, _SFF1, _SFF2 = 0, 1, 2, 3, 4, 8
 
-def _chunk_index(p):
-    # p -> weight chunk id (phase 3 reuses chunk 2 so no fresh DMA happens)
-    return jnp.where(p >= 4, p - 1, jnp.minimum(p, 2))
+
+def _pair_index(p):
+    # p -> pair id in the [6, 6, 2, E, E]-viewed chunk array (block units);
+    # phase 2 repeats pair 1, so no fresh DMA happens there.
+    return jnp.where(p >= 3, p - 1, jnp.minimum(p, 1))
 
 
 def _kernel(
     qpos_ref,  # scalar prefetch: [1] int32 absolute query position
     # --- tensor inputs ---
     x_ref,  # [8, E] f32 (row 0 = the token embedding; rows 1..7 zero)
-    w_ref,  # [1, 1, E, E] int8 — current weight chunk, TRANSPOSED [in, out]
+    w_ref,  # [1, 2, E, E] int8 — current weight chunk PAIR, TRANSPOSED [in, out]
     s_ref,  # [1, 12, E] f32 — this layer's per-chunk output-channel scales
     ln_ref,  # [1, 4, E] f32 — this layer's (ln1_w, ln1_b, ln2_w, ln2_b)
     cf_ref,  # [1, E] f32 — cos, repeat-interleaved per pair, tiled per head
@@ -121,17 +129,14 @@ def _kernel(
     p = pl.program_id(1)
     E = x_ref.shape[1]
     H, d = num_heads, head_dim
-    w_idx = _chunk_index(p)  # scale row for the current weight chunk
 
-    def scale_row():
-        return s_ref[0, pl.ds(w_idx, 1), :]  # [1, E]
-
-    def matmul_chunk(xrow):
-        """xrow [8, E] f32 @ int8 chunk [E, out] -> [8, out] f32 (bf16 MXU,
-        f32 accumulation, per-output scale) — mirrors ops/linear int8 math."""
-        w = w_ref[0, 0].astype(jnp.bfloat16)
+    def matmul_chunk(xrow, j, srow):
+        """xrow [8, E] f32 @ int8 chunk j of the pair [E, out] -> [8, out] f32
+        (bf16 MXU, f32 accumulation, per-output scale srow — mirrors
+        ops/linear int8 math)."""
+        w = w_ref[0, j].astype(jnp.bfloat16)
         y = jnp.dot(xrow.astype(jnp.bfloat16), w, preferred_element_type=jnp.float32)
-        return y * scale_row()
+        return y * s_ref[0, srow, :][None, :]
 
     def rope(x):
         """Interleaved-pair rotation on the flat head-major [8, E] row."""
@@ -149,7 +154,8 @@ def _kernel(
         for h in range(H):
             dst[h, :] = flat[0, h * d : (h + 1) * d]
 
-    # ---- layer start: snapshot residual stream, kick off this layer's KV DMA
+    # ---- layer start: snapshot residual stream, kick off this layer's KV
+    # DMA, ln1, q and k projections (+RoPE)
     @pl.when(p == 0)
     def _():
         @pl.when(l == 0)
@@ -163,24 +169,22 @@ def _kernel(
                 pltpu.make_async_copy(v_hbm[i], kv_v, sem_v).start()
 
         lnx_s[:, :] = _layer_norm_f32(x_s[:, :], ln_ref[0, 0][None, :], ln_ref[0, 1][None, :])
-        split_heads(rope(matmul_chunk(lnx_s[:, :])), q16)
-
-    @pl.when(p == 1)
-    def _():
-        k_rot = rope(matmul_chunk(lnx_s[:, :]))
+        split_heads(rope(matmul_chunk(lnx_s[:, :], 0, _SQ)), q16)
+        k_rot = rope(matmul_chunk(lnx_s[:, :], 1, _SK))
         split_heads(k_rot, k16)
         for h in range(H):
             knew_ref[0, h, :] = k16[h, :].astype(knew_ref.dtype)
 
-    @pl.when(p == 2)
+    @pl.when(p == 1)
     def _():
-        v = matmul_chunk(lnx_s[:, :])
+        v = matmul_chunk(lnx_s[:, :], 0, _SV)
         split_heads(v, v16)
         for h in range(H):
             vnew_ref[0, h, :] = v16[h, :].astype(vnew_ref.dtype)
 
-    # ---- attention over the DMA'd cache + the current frame's (k, v)
-    @pl.when(p == 3)
+    # ---- attention over the DMA'd cache + the current frame's (k, v), then
+    # the out-projection (chunk 1 of the still-resident pair) + residual + ln2
+    @pl.when(p == 2)
     def _():
         pltpu.make_async_copy(k_hbm[0], kv_k, sem_k).wait()
         pltpu.make_async_copy(v_hbm[0], kv_v, sem_v).wait()
@@ -209,46 +213,48 @@ def _kernel(
             )  # [1, d]
             attn16[h, :] = out[0] + (e_self / denom) * v16[h, :]
 
-    # ---- out-projection (sublane-sliced transposed weight) + residual + ln2
-    @pl.when(p == 4)
-    def _():
-        w = w_ref[0, 0].astype(jnp.bfloat16)  # [E, E] = [in(head-major), out]
+        # out-projection: sublane-sliced transposed weight (head-major rows)
+        wo = w_ref[0, 1].astype(jnp.bfloat16)  # [E, E] = [in(head-major), out]
         acc = jnp.zeros((1, E), jnp.float32)
         for h in range(H):
             a_h = attn16[h, :][None, :].astype(jnp.bfloat16)  # [1, d]
             acc = acc + jnp.dot(
-                a_h, w[h * d : (h + 1) * d, :], preferred_element_type=jnp.float32
+                a_h, wo[h * d : (h + 1) * d, :], preferred_element_type=jnp.float32
             )
-        acc = acc * scale_row()
+        acc = acc * s_ref[0, _SOUT, :][None, :]
         x_s[0, :] = x_s[0, :] + acc[0]
         lnx_s[:, :] = _layer_norm_f32(x_s[:, :], ln_ref[0, 2][None, :], ln_ref[0, 3][None, :])
 
     # ---- FF: ff1 column chunks (GELU applied per chunk), ff2 accumulation
-    for c in range(4):
-        @pl.when(p == 5 + c)
-        def _(c=c):
-            h = matmul_chunk(lnx_s[:, :])  # [8, E] = columns c*E..(c+1)*E of ff1
-            h = 0.5 * h * (1.0 + _erf(h * 0.7071067811865476))
-            h1_s[:, c * E : (c + 1) * E] = h
+    for pp in range(2):
+        @pl.when(p == 3 + pp)
+        def _(pp=pp):
+            for j in range(2):
+                c = 2 * pp + j
+                h = matmul_chunk(lnx_s[:, :], j, _SFF1 + c)
+                h = 0.5 * h * (1.0 + _erf(h * 0.7071067811865476))
+                h1_s[:, c * E : (c + 1) * E] = h
 
-    for c in range(4):
-        @pl.when(p == 9 + c)
-        def _(c=c):
-            part = jnp.dot(
-                h1_s[:, c * E : (c + 1) * E].astype(jnp.bfloat16),
-                w_ref[0, 0].astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
-            )
-            if c == 0:
-                yacc_s[:, :] = part
-            else:
-                yacc_s[:, :] = yacc_s[:, :] + part
+    for pp in range(2):
+        @pl.when(p == 5 + pp)
+        def _(pp=pp):
+            for j in range(2):
+                c = 2 * pp + j
+                part = jnp.dot(
+                    h1_s[:, c * E : (c + 1) * E].astype(jnp.bfloat16),
+                    w_ref[0, j].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+                if c == 0:
+                    yacc_s[:, :] = part
+                else:
+                    yacc_s[:, :] = yacc_s[:, :] + part
 
     @pl.when(p == _PHASES - 1)
     def _():
         # ff2's per-output scale applies once to the full accumulation (the
         # four chunks split the contraction, not the outputs).
-        x_s[0, :] = x_s[0, :] + yacc_s[0, :] * scale_row()[0]
+        x_s[0, :] = x_s[0, :] + yacc_s[0, :] * s_ref[0, _SFF2, :]
 
         @pl.when(l == num_layers - 1)
         def _():
@@ -351,7 +357,7 @@ def fused_backbone_decode(
         grid=(L, _PHASES),
         in_specs=[
             pl.BlockSpec((8, E), lambda l, p, _qp: (0, 0)),  # x
-            pl.BlockSpec((1, 1, E, E), lambda l, p, _qp: (l, _chunk_index(p), 0, 0)),
+            pl.BlockSpec((1, 2, E, E), lambda l, p, _qp: (l, _pair_index(p), 0, 0)),
             pl.BlockSpec((1, _NCHUNK, E), lambda l, p, _qp: (l, 0, 0)),
             pl.BlockSpec((1, 4, E), lambda l, p, _qp: (l, 0, 0)),  # ln
             pl.BlockSpec((1, E), lambda l, p, _qp: (0, 0)),  # cf
