@@ -208,6 +208,7 @@ class StreamingTransformer:
             and self.kind == "flow_lm"
             and x.shape[0] == 1
             and x.shape[1] == 1
+            and self._fused_capacity_ok(state)
         ):
             return self._fused_decode(params, x, state, positions, rope_cache, widx)
         new_layer_states = []
@@ -218,6 +219,17 @@ class StreamingTransformer:
         if widx is not None:
             new_state["widx"] = widx + x.shape[1]
         return x, new_state
+
+    @staticmethod
+    def _fused_capacity_ok(state: State) -> bool:
+        """The megakernel holds one layer's K and V in VMEM scratch
+        (~16 MB/core total, of which ~4.5 MB goes to weight-chunk double
+        buffers + activations). Past ~8 MB of KV scratch (C=2048 bf16) the
+        kernel would fail to compile — long-context sessions fall back to the
+        XLA path for those (rare) capacity buckets."""
+        k = state["layers"][0]["k"]  # [B, H, C, d]
+        kv_bytes = 2 * k.shape[1] * k.shape[2] * k.shape[3] * k.dtype.itemsize
+        return kv_bytes <= 8 * 1024 * 1024
 
     def _fused_decode(
         self, params: Params, x, state: State, positions, rope_cache, widx

@@ -106,3 +106,24 @@ def test_fused_path_wiring_matches_oracle(setup, monkeypatch):
         )
         sp = np.asarray(new_state["layers"][i]["slot_pos"])
         np.testing.assert_array_equal(sp, np.asarray(ref_state["layers"][i]["slot_pos"]))
+
+
+def test_capacity_guard_falls_back_to_oracle(setup):
+    """Past the kernel's VMEM budget (8 MB of KV scratch) the fused branch
+    must not be taken — it would fail to compile on a real TPU."""
+    import jax.numpy as jnp
+
+    t, qparams, packed, _ = setup
+    big = t.init_state(1, 4096, dtype=jnp.bfloat16)
+    small = t.init_state(1, 256, dtype=jnp.bfloat16)
+    assert not t._fused_capacity_ok(big)
+    assert t._fused_capacity_ok(small)
+
+    # And the dispatch respects it: a fused-params call at huge capacity
+    # runs the XLA path (no pallas_call traced -> works on CPU untouched).
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 1, E), jnp.float32)
+    pos = jnp.zeros((1, 1), jnp.int32)
+    fused_params = {**qparams, "fused": packed}
+    out, _ = t(fused_params, x, big, pos)
+    ref, _ = t(qparams, x, big, pos)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0)
