@@ -24,6 +24,7 @@ per-frame Python loop with a device sync every frame, tts_model.py:402-428):
 
 from __future__ import annotations
 
+import functools
 import logging
 import os
 
@@ -70,15 +71,34 @@ logger = logging.getLogger(__name__)
 _BULK_SEGMENT_FRAMES = 32
 
 
+@jax.jit
+def _split2(key: jax.Array) -> tuple[jax.Array, jax.Array]:
+    k1, k2 = jax.random.split(key)
+    return k1, k2
+
+
+@functools.lru_cache(maxsize=1)
+def _cpu_device():
+    return jax.local_devices(backend="cpu")[0]
+
+
+def _split_key_cpu(key: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Split a PRNG key on the host CPU backend (jit follows the committed
+    input placement). Keeps the per-utterance/per-tick key chain off the
+    accelerator dispatch path — an eager split there costs a full round-trip
+    for an 8-byte computation."""
+    return _split2(jax.device_put(key, _cpu_device()))
+
+
 def enable_compilation_cache(path: str = "~/.cache/pocket_tts/jax_cache") -> None:
     """Persist compiled executables across processes (first jit of the fused
     decode graph can take minutes on remote-compile backends)."""
-    cache_dir = os.path.expanduser(path)
-    os.makedirs(cache_dir, exist_ok=True)
     try:
+        cache_dir = os.path.expanduser(path)
+        os.makedirs(cache_dir, exist_ok=True)  # may fail: read-only HOME
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception as exc:  # noqa: BLE001 — older jax versions
+    except Exception as exc:  # noqa: BLE001 — unwritable cache dir/older jax
         logger.debug("compilation cache unavailable: %s", exc)
 
 # Predefined voice embeddings (speaker-conditioning prefill tensors), same
@@ -296,6 +316,12 @@ class TTSModel:
                 # jitted step streams it directly (ops/fused_backbone.py).
                 t = model.params["flow_lm"]["transformer"]
                 t["fused"] = pack_backbone_int8(t["layers"])
+        # _load_weights / cast_serving_dtype / quantize_int8 rebuild the
+        # params pytree, so the conditioner constructed in __init__ would
+        # otherwise keep embedding with the discarded random-init table.
+        model.conditioner.embed_weight = model.params["flow_lm"]["conditioner"][
+            "embed"
+        ]["weight"]
         logger.info(
             "TTS Model loaded successfully. Size ~%d MB",
             size_of_pytree(model.params) // 1_000_000,
@@ -632,8 +658,13 @@ class TTSModel:
             )
 
     def _next_rng(self) -> jax.Array:
-        self._rng, sub = jax.random.split(self._rng)
-        return sub
+        # Split on the host CPU backend: an eager split on the accelerator
+        # costs a dispatch round-trip per utterance (~5 ms through a relay)
+        # for an 8-byte computation. The key uploads with the segment args.
+        self._rng, sub = _split_key_cpu(self._rng)
+        # numpy, not a CPU-committed jax array: uncommitted keys upload with
+        # the accelerator dispatch instead of fighting device placement.
+        return np.asarray(sub)
 
     def _generate_stream_chunk(
         self,

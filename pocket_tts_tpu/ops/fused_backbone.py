@@ -29,9 +29,11 @@ The HBM cache append stays OUTSIDE (the kernel returns per-layer k_new/v_new;
 the caller's dynamic_update_slice happens in place under donation), so cache
 layout and every other path (prefill, batch, multichip) are untouched.
 
-Opt-in via POCKET_TTS_FUSED_BACKBONE=1; requires int8-quantized params
-(param_dtype="int8"), B == 1, T == 1. The XLA path remains the default and
-the correctness oracle (tests/test_fused_backbone.py).
+DEFAULT for the int8 B=1 decode path on TPU (POCKET_TTS_FUSED_BACKBONE=0
+opts out); requires int8-quantized params (param_dtype="int8"), B == 1,
+T == 1, and a capacity bucket within the VMEM budget. The XLA path remains
+the default everywhere else and is the correctness oracle
+(tests/test_fused_backbone.py).
 
 Reference behavior covered: pocket_tts_mlx/modules/mimi_transformer.py:17-122
 (layer math) + pocket_tts_mlx/modules/attention.py:108-182 (causal KV
@@ -58,7 +60,8 @@ def fused_backbone_enabled() -> bool:
     tests/test_fused_backbone.py). POCKET_TTS_FUSED_BACKBONE=0 opts out.
     The caller additionally gates on the TPU backend — Mosaic kernels do not
     run on CPU outside interpret mode."""
-    return os.environ.get("POCKET_TTS_FUSED_BACKBONE", "1") not in ("0", "", "false")
+    v = os.environ.get("POCKET_TTS_FUSED_BACKBONE", "1").strip().lower()
+    return v not in ("0", "", "false", "off", "no")
 
 
 def _erf(x: jnp.ndarray) -> jnp.ndarray:
@@ -192,16 +195,29 @@ def _kernel(
         valid = (sp_ref[0][:, None] >= 0) & (sp_ref[0][:, None] <= qp)  # [C, 1]
         scale = 1.0 / math.sqrt(d)
         for h in range(H):
-            q_h = (q16[h, :] * scale)[:, None].astype(cache_dtype)  # [d, 1]
+            # Mirror ops/attention._sdpa exactly: q is cast to the cache
+            # dtype BEFORE the score matmul (f32 accumulation), the 1/sqrt(d)
+            # scale applies to the f32 scores, and the softmax weights are
+            # rounded to the cache dtype for the PV matmul. The current
+            # frame's (k, v) take the same roundings they would have had as
+            # appended cache entries.
+            q_h = q16[h, :][:, None].astype(cache_dtype)  # [d, 1]
             k_h = kv_k[h]  # [C, d] cache dtype
             v_h = kv_v[h]
-            scores = jax.lax.dot_general(
-                k_h, q_h, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            scores = (
+                jax.lax.dot_general(
+                    k_h, q_h, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                * scale
             )  # [C, 1]
             scores = jnp.where(valid, scores, _NEG_INF)
-            s_self = jnp.sum(
-                (q16[h, :] * scale).astype(cache_dtype).astype(jnp.float32)
-                * k16[h, :].astype(cache_dtype).astype(jnp.float32)
+            s_self = (
+                jnp.sum(
+                    q16[h, :].astype(cache_dtype).astype(jnp.float32)
+                    * k16[h, :].astype(cache_dtype).astype(jnp.float32)
+                )
+                * scale
             )
             m = jnp.maximum(jnp.max(scores), s_self)
             e = jnp.exp(scores - m)  # [C, 1]
@@ -211,7 +227,9 @@ def _kernel(
             out = jax.lax.dot_general(
                 w, v_h, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
             )  # [1, d]
-            attn16[h, :] = out[0] + (e_self / denom) * v16[h, :]
+            w_self = (e_self / denom).astype(cache_dtype).astype(jnp.float32)
+            v_self = v16[h, :].astype(cache_dtype).astype(jnp.float32)
+            attn16[h, :] = out[0] + w_self * v_self
 
         # out-projection: sublane-sliced transposed weight (head-major rows)
         wo = w_ref[0, 1].astype(jnp.bfloat16)  # [E, E] = [in(head-major), out]

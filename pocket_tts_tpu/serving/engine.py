@@ -470,7 +470,12 @@ class TTSEngine:
         before fetching this one (see run()).
         """
         self._maybe_compact()
-        self._rng, rng = jax.random.split(self._rng)
+        # Host-side split: an eager accelerator split costs a dispatch
+        # round-trip per tick (models/tts_model._split_key_cpu).
+        from pocket_tts_tpu.models.tts_model import _split_key_cpu
+
+        self._rng, rng = _split_key_cpu(self._rng)
+        rng = np.asarray(rng)
         (
             self.flow_state,
             self.mimi_state,

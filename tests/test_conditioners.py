@@ -72,3 +72,17 @@ def test_unbound_conditioner_raises():
     )
     with pytest.raises(AssertionError, match="embed_weight"):
         cond(cond.prepare("hi there."))
+
+
+def test_load_model_rebinds_conditioner_to_live_params(monkeypatch):
+    """load_model rebuilds the params pytree (weight load, serving casts,
+    quantization), so the conditioner bound at __init__ would otherwise keep
+    the discarded random-init table."""
+    monkeypatch.setenv("POCKET_TTS_OFFLINE", "1")
+    from pocket_tts_tpu.models.tts_model import TTSModel
+
+    m = TTSModel.load_model(param_dtype="bfloat16")
+    assert (
+        m.conditioner.embed_weight
+        is m.params["flow_lm"]["conditioner"]["embed"]["weight"]
+    )
