@@ -68,7 +68,24 @@ logger = logging.getLogger(__name__)
 # Uniform segment size for non-streaming (bulk) generation: one compiled
 # program regardless of utterance length; overshoot frames are masked and the
 # stream positions rewound afterwards.
-_BULK_SEGMENT_FRAMES = 32
+_BULK_SEGMENT_FRAMES = 64
+
+
+def _bulk_schedule(max_gen_all: int) -> list[int]:
+    """Bulk-mode segment schedule: as many 64-frame segments as fit, then one
+    power-of-2 tail bucket covering the remainder.
+
+    Per-segment fixed cost (dispatch, donation plumbing, fetch bookkeeping)
+    measured ~2 ms through the relay, so big segments win (0.44 -> 0.375
+    ms/frame going 32 -> 64, benchmarks/ablate.py); the bucketed tail keeps
+    the overshoot (masked, but computed) small for arbitrary utterance
+    lengths while bounding the set of compiled shapes to {8, 16, 32, 64}.
+    """
+    n_big, rem = divmod(max(0, max_gen_all), _BULK_SEGMENT_FRAMES)
+    sched = [_BULK_SEGMENT_FRAMES] * n_big
+    if rem:
+        sched.append(min(_BULK_SEGMENT_FRAMES, max(8, 1 << (rem - 1).bit_length())))
+    return sched
 
 
 @jax.jit
@@ -730,10 +747,8 @@ class TTSModel:
         lengths = np.asarray(token_counts, dtype=np.int32)
 
         max_gen_all = int(max(max_gen))
-        if bulk:
-            dispatch_budget = -(-max_gen_all // _BULK_SEGMENT_FRAMES) * _BULK_SEGMENT_FRAMES
-        else:
-            dispatch_budget = max_gen_all
+        bulk_sched = _bulk_schedule(max_gen_all) if bulk else None
+        dispatch_budget = sum(bulk_sched) if bulk else max_gen_all
         # Slot-indexed cache: capacity counts every write (incl. padding),
         # not stream positions. Before growing to a new bucket (= a new jit
         # compilation), try compacting the dead slots out — long
@@ -765,7 +780,7 @@ class TTSModel:
         # zero-latent warmup is deterministic and voice-independent, so the
         # warmed state is computed once per (B, chunk, warmup) shape and
         # reused — generation then starts with zero extra dispatches.
-        max_chunk = _BULK_SEGMENT_FRAMES if bulk else segment_frames
+        max_chunk = max(bulk_sched, default=1) if bulk else segment_frames
         warm_key = ("warm_mimi", B, max_chunk, warmup_frames)
         warm_template = self._jit_cache.get(warm_key)
         if warm_template is None:
@@ -799,11 +814,9 @@ class TTSModel:
 
         def schedule_iter():
             if bulk:
-                # Uniform large segments: fewest dispatch/fetch round-trips
-                # and a single compiled program; the tail overshoot is masked.
-                n = -(-max_gen_all // _BULK_SEGMENT_FRAMES)
-                for _ in range(n):
-                    yield _BULK_SEGMENT_FRAMES
+                # Big segments + one bucketed tail (see _bulk_schedule):
+                # fewest dispatch round-trips, small masked overshoot.
+                yield from bulk_sched
                 return
             # Streaming: tiny first segments for fast time-to-first-audio,
             # then steady-state blocks of `segment_frames`.
