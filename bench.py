@@ -158,17 +158,25 @@ def bench_engine(model, voice, batch: int, bursts: int = 3) -> dict:
     }
 
 
-def bench_batch(model, voice, batch: int) -> dict:
-    """Bulk batched synthesis (BASELINE config #4): generate_audio_batch."""
+def bench_batch(model, voice, batch: int, runs: int = 3) -> dict:
+    """Bulk batched synthesis (BASELINE config #4): generate_audio_batch.
+
+    Median of `runs` timed runs — a single multi-second relay stall otherwise
+    poisons the recorded number (observed: 6.6x on a run whose siblings
+    measured 428x/522x)."""
     from pocket_tts_tpu.models.tts_model import stack_states
 
     stacked = stack_states(model.flow_lm, [voice] * batch)
     texts = [TEXT] * batch
     _ = model.generate_audio_batch(stacked, texts, frames_after_eos=2)  # warmup
 
-    t0 = time.monotonic()
-    outs = model.generate_audio_batch(stacked, texts, frames_after_eos=2)
-    wall = time.monotonic() - t0
+    walls = []
+    for _ in range(runs):
+        t0 = time.monotonic()
+        outs = model.generate_audio_batch(stacked, texts, frames_after_eos=2)
+        walls.append(time.monotonic() - t0)
+    walls.sort()
+    wall = walls[len(walls) // 2]
     total_audio_sec = sum(o.shape[0] for o in outs) / SAMPLE_RATE
     aggregate_rtf = total_audio_sec / wall
     return {
