@@ -280,3 +280,21 @@ def test_transfer_pcm16_matches_float_path(model, voice):
     assert q.dtype == np.float32
     assert q.shape == ref.shape
     np.testing.assert_allclose(q, np.clip(ref, -1.0, 1.0), atol=1.0 / 32767.0)
+
+
+def test_bulk_schedule_shapes():
+    """Bulk schedule: whole 64s + one power-of-2 tail covering the remainder;
+    total >= max_gen, bounded overshoot, bounded set of compiled shapes."""
+    from pocket_tts_tpu.models.tts_model import _bulk_schedule
+
+    assert _bulk_schedule(0) == []
+    assert _bulk_schedule(1) == [8]
+    assert _bulk_schedule(64) == [64]
+    assert _bulk_schedule(65) == [64, 8]
+    assert _bulk_schedule(138) == [64, 64, 16]
+    for n in range(1, 400):
+        sched = _bulk_schedule(n)
+        assert sum(sched) >= n
+        assert sum(sched) - n < 64  # overshoot bounded by one big segment
+        assert set(sched) <= {8, 16, 32, 64}
+        assert sorted(sched, reverse=True) == sched  # big first, tail last
