@@ -60,6 +60,7 @@ from pocket_tts_tpu.models.text import (
 )
 from pocket_tts_tpu.models.weights import cast_serving_dtype, load_state_dict
 from pocket_tts_tpu.utils.assets import download_if_necessary
+from pocket_tts_tpu.utils.env import env_flag
 from pocket_tts_tpu.utils.safetensors import load_safetensors
 from pocket_tts_tpu.utils.timing import display_execution_time, size_of_pytree
 
@@ -312,7 +313,9 @@ class TTSModel:
         # Persist compiled executables across processes by default: a cold
         # CLI run otherwise pays every jit compile again (minutes on
         # remote-compile backends). POCKET_TTS_NO_COMPILE_CACHE=1 opts out.
-        if os.environ.get("POCKET_TTS_NO_COMPILE_CACHE", "0") in ("0", "", "false"):
+        # NOTE: this mutates global jax config (jax_compilation_cache_dir) as
+        # a load_model side effect — documented in README serving modes.
+        if not env_flag("POCKET_TTS_NO_COMPILE_CACHE", False):
             enable_compilation_cache()
         model._load_weights(cfg, jnp.float32, allow_random_init)
         if serving_dtype != jnp.float32:
@@ -517,10 +520,24 @@ class TTSModel:
 
     def _encode_audio(self, audio: np.ndarray) -> jnp.ndarray:
         """Waveform [B, C, T] -> speaker conditioning [B, T', d_model]
-        (reference: tts_model.py:271-276)."""
-        audio = jnp.asarray(audio, dtype=jnp.float32)
+        (reference: tts_model.py:271-276).
+
+        The waveform is zero-padded to a power-of-2 bucket of codec frames so
+        the encoder compiles O(log) programs instead of one per distinct
+        prompt length (minutes each on remote-compile backends). The whole
+        encode chain is causal — left-padded convs (ops/conv.py) and causal
+        windowed attention — so the first `n_valid` output frames are
+        unaffected by tail padding (parity pinned in
+        tests/test_voice_cloning.py)."""
+        audio = np.asarray(audio, dtype=np.float32)
+        frame = self.frame_size
+        n_frames = max(1, -(-audio.shape[-1] // frame))  # ceil: frames at 12.5 Hz
+        bucket = 1 << (n_frames - 1).bit_length()  # next power of 2
+        pad = bucket * frame - audio.shape[-1]
+        if pad:
+            audio = np.pad(audio, [(0, 0)] * (audio.ndim - 1) + [(0, pad)])
         fn = self._encode_audio_jit(audio.shape[0], audio.shape[-1])
-        return fn(self.params, audio)
+        return fn(self.params, jnp.asarray(audio))[:, :n_frames, :]
 
     def get_state_for_audio_prompt(
         self, audio_conditioning: Union[Path, str, np.ndarray], truncate: bool = False

@@ -44,12 +44,13 @@ from __future__ import annotations
 
 import functools
 import math
-import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from pocket_tts_tpu.utils.env import env_flag
 
 _NEG_INF = -1e9
 
@@ -60,8 +61,7 @@ def fused_backbone_enabled() -> bool:
     tests/test_fused_backbone.py). POCKET_TTS_FUSED_BACKBONE=0 opts out.
     The caller additionally gates on the TPU backend — Mosaic kernels do not
     run on CPU outside interpret mode."""
-    v = os.environ.get("POCKET_TTS_FUSED_BACKBONE", "1").strip().lower()
-    return v not in ("0", "", "false", "off", "no")
+    return env_flag("POCKET_TTS_FUSED_BACKBONE", True)
 
 
 def _erf(x: jnp.ndarray) -> jnp.ndarray:
@@ -192,7 +192,12 @@ def _kernel(
         pltpu.make_async_copy(k_hbm[0], kv_k, sem_k).wait()
         pltpu.make_async_copy(v_hbm[0], kv_v, sem_v).wait()
         qp = qpos_ref[0]
-        valid = (sp_ref[0][:, None] >= 0) & (sp_ref[0][:, None] <= qp)  # [C, 1]
+        # Strictly-less-than: the qpos entry enters only via the algebraic
+        # self term below, so a stale slot that ever held position == qpos
+        # (e.g. a future rewind path that forgets invalidate_after) cannot be
+        # double-counted (ADVICE r2). Positions are unique per stream, so
+        # this is equivalent to <= today.
+        valid = (sp_ref[0][:, None] >= 0) & (sp_ref[0][:, None] < qp)  # [C, 1]
         scale = 1.0 / math.sqrt(d)
         for h in range(H):
             # Mirror ops/attention._sdpa exactly: q is cast to the cache
@@ -298,6 +303,20 @@ def pack_backbone_int8(layers_params) -> dict:
             if not isinstance(w, dict):
                 raise ValueError("fused backbone requires int8-quantized params")
         E = out_proj["q"].shape[0]
+        # The 12-chunk phase map hardcodes dim_feedforward == 4*d_model; a
+        # config with a different hidden_scale would silently drop FF rows.
+        # Fail loudly at pack time instead (ADVICE r2).
+        if ff1["q"].shape != (4 * E, E) or ff2["q"].shape != (E, 4 * E):
+            raise ValueError(
+                "fused backbone supports dim_feedforward == 4*d_model only; "
+                f"got ff1 {tuple(ff1['q'].shape)}, ff2 {tuple(ff2['q'].shape)} "
+                f"for d_model={E} — disable with POCKET_TTS_FUSED_BACKBONE=0"
+            )
+        if in_proj["q"].shape != (3, E, E):
+            raise ValueError(
+                f"fused backbone expects packed qkv [3, {E}, {E}]; got "
+                f"{tuple(in_proj['q'].shape)}"
+            )
         lc = [in_proj["q"][i].T for i in range(3)]  # q/k/v: [F, E] -> [E, F]
         ls = [in_proj["s"][i] for i in range(3)]
         lc.append(out_proj["q"].T)

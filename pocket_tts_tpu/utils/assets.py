@@ -22,7 +22,9 @@ logger = logging.getLogger(__name__)
 
 def _offline() -> bool:
     """Fail fast instead of burning retry timeouts on air-gapped machines."""
-    return os.environ.get("POCKET_TTS_OFFLINE", "0") not in ("0", "", "false")
+    from pocket_tts_tpu.utils.env import env_flag
+
+    return env_flag("POCKET_TTS_OFFLINE", False)
 
 
 def make_cache_directory() -> Path:

@@ -13,12 +13,15 @@ pieces inference actually needs:
 Scope and fidelity:
   - unigram models only (the SentencePiece default, and what TTS checkpoints
     ship); BPE models raise.
-  - normalization implements add_dummy_prefix / remove_extra_whitespaces /
-    escape_whitespaces. The precompiled NFKC charsmap is NOT applied; for
-    ASCII/Latin text (the TTS prompt domain) identity normalization matches
-    NMT-NFKC. When the `sentencepiece` package is installed it is preferred
-    (models/text.py tries it first), so this path is the offline fallback
-    with real-vocabulary semantics rather than a bit-exact reimplementation.
+  - normalization implements the full chain: the model's embedded
+    `precompiled_charsmap` (a darts-clone double-array trie over UTF-8
+    prefixes -> replacement strings; this is how sentencepiece ships NFKC) is
+    applied exactly when present, then add_dummy_prefix /
+    remove_extra_whitespaces / escape_whitespaces. Models WITHOUT an embedded
+    charsmap but named `nfkc`/`nmt_nfkc`(`_cf`) fall back to
+    `unicodedata.normalize("NFKC")` plus the NMT whitespace/control rules —
+    approximate only for exotic control sequences. When the `sentencepiece`
+    package is installed it is preferred (models/text.py tries it first).
   - byte fallback pieces (type BYTE) are used for characters outside the
     vocabulary when present, matching `byte_fallback=true` models.
 
@@ -107,6 +110,8 @@ class ModelProto:
     types: list[int] = field(default_factory=list)
     model_type: int = 1  # TrainerSpec.model_type: 1 = UNIGRAM, 2 = BPE
     unk_id: int = 0
+    normalizer_name: str = "identity"
+    precompiled_charsmap: bytes = b""
     add_dummy_prefix: bool = True
     remove_extra_whitespaces: bool = True
     escape_whitespaces: bool = True
@@ -135,7 +140,11 @@ def parse_model_proto(data: bytes) -> ModelProto:
                     model.unk_id = tv
         elif fnum == 3 and wtype == 2:  # NormalizerSpec
             for nf, nw, nv in _iter_fields(val):
-                if nf == 3:
+                if nf == 1:
+                    model.normalizer_name = nv.decode("utf-8")
+                elif nf == 2:
+                    model.precompiled_charsmap = nv
+                elif nf == 3:
                     model.add_dummy_prefix = bool(nv)
                 elif nf == 4:
                     model.remove_extra_whitespaces = bool(nv)
@@ -149,6 +158,8 @@ def build_model_proto(
     model_type: int = 1,
     unk_id: int = 0,
     add_dummy_prefix: bool = True,
+    normalizer_name: str = "identity",
+    precompiled_charsmap: bytes = b"",
 ) -> bytes:
     """Serialize a minimal unigram ModelProto (test fixtures / tooling)."""
     out = bytearray()
@@ -163,10 +174,153 @@ def build_model_proto(
     _write_field(trainer, 40, 0, unk_id)
     _write_field(out, 2, 2, bytes(trainer))
     normalizer = bytearray()
-    _write_field(normalizer, 1, 2, b"identity")
+    _write_field(normalizer, 1, 2, normalizer_name.encode("utf-8"))
+    if precompiled_charsmap:
+        _write_field(normalizer, 2, 2, precompiled_charsmap)
     _write_field(normalizer, 3, 0, 1 if add_dummy_prefix else 0)
     _write_field(out, 3, 2, bytes(normalizer))
     return bytes(out)
+
+
+# ------------------------------------------------------- precompiled charsmap
+#
+# sentencepiece ships its normalization (NFKC et al.) as a `precompiled
+# charsmap`: [uint32 LE trie_size][darts-clone double-array trie over UTF-8
+# key prefixes][pool of NUL-terminated replacement strings]. Each trie value
+# is a byte offset into the pool. Normalization is a longest-prefix-match
+# greedy rewrite over the input bytes. The double-array unit encoding
+# (darts_clone DoubleArrayUnit):
+#   bits 0-7  : label (the matched byte)          — label() = unit & 0x800000FF
+#   bit 8     : has_leaf                          — a value hangs off label 0
+#   bit 9     : offset-extension flag (<<8)
+#   bits 10-30: offset                            — offset() = (u>>10) << ((u>>6)&0x100? ...)
+#   bit 31    : leaf-value unit flag (value() = unit & 0x7FFFFFFF)
+
+
+def _unit_offset(u: int) -> int:
+    return (u >> 10) << ((u & (1 << 9)) >> 6)
+
+
+class _Charsmap:
+    """Reader for the precompiled charsmap blob (darts commonPrefixSearch)."""
+
+    def __init__(self, blob: bytes):
+        (trie_size,) = struct.unpack_from("<I", blob, 0)
+        n_units = trie_size // 4
+        self.units = struct.unpack_from(f"<{n_units}I", blob, 4)
+        self.pool = blob[4 + trie_size :]
+
+    def longest_match(self, data: bytes, start: int):
+        """Longest prefix of data[start:] in the trie -> (length, replacement
+        bytes) or None."""
+        units = self.units
+        node_pos = _unit_offset(units[0])
+        longest = None
+        for i in range(start, len(data)):
+            c = data[i]
+            node_pos ^= c
+            if node_pos >= len(units):
+                break
+            unit = units[node_pos]
+            if (unit & 0x800000FF) != c:
+                break
+            node_pos ^= _unit_offset(unit)
+            if (unit >> 8) & 1:
+                value = units[node_pos] & 0x7FFFFFFF
+                longest = (i - start + 1, value)
+        if longest is None:
+            return None
+        ln, value = longest
+        end = self.pool.find(b"\0", value)
+        return ln, self.pool[value : end if end >= 0 else len(self.pool)]
+
+    def normalize_bytes(self, data: bytes) -> bytes:
+        out = bytearray()
+        i, n = 0, len(data)
+        while i < n:
+            m = self.longest_match(data, i)
+            if m is not None:
+                ln, rep = m
+                out += rep
+                i += ln
+            else:  # copy one UTF-8 character unchanged
+                b = data[i]
+                ln = 1 if b < 0x80 else (2 if b < 0xE0 else (3 if b < 0xF0 else 4))
+                out += data[i : i + ln]
+                i += ln
+        return bytes(out)
+
+
+def build_precompiled_charsmap(mapping: dict[str, str]) -> bytes:
+    """Serialize a charsmap blob from {source: replacement} (test fixtures /
+    tooling): builds a darts-clone-compatible double-array for the key set.
+    sentencepiece's own blobs (NFKC: ~a million units) read back through
+    _Charsmap with the identical traversal."""
+    pool = bytearray()
+    keys_vals: list[tuple[bytes, int]] = []
+    for k, v in sorted(mapping.items()):
+        keys_vals.append((k.encode("utf-8"), len(pool)))
+        pool += v.encode("utf-8") + b"\0"
+
+    trie: dict = {}
+    for key, val in keys_vals:
+        node = trie
+        for b in key:
+            node = node.setdefault(b, {})
+        node[None] = val  # terminal marker
+
+    units: dict[int, int] = {0: 0}
+
+    def place(pos: int, node: dict) -> None:
+        labels = sorted(l for l in node if l is not None)
+        targets = ([0] if None in node else []) + labels
+        off = 1
+        while True:
+            cand = [pos ^ off ^ c for c in targets]
+            if (
+                off < (1 << 21)
+                and len(set(cand)) == len(cand)
+                and all(p not in units and p != 0 for p in cand)
+            ):
+                break
+            off += 1
+        units[pos] = units[pos] | (off << 10) | ((1 << 8) if None in node else 0)
+        for c in targets:
+            p = pos ^ off ^ c
+            if c == 0 and None in node:
+                units[p] = 0x80000000 | node[None]
+            else:
+                units[p] = c
+        for c in labels:
+            place(pos ^ off ^ c, node[c])
+
+    place(0, trie)
+    n_units = max(units) + 1
+    arr = [units.get(i, 0) for i in range(n_units)]
+    return struct.pack("<I", 4 * n_units) + struct.pack(f"<{n_units}I", *arr) + bytes(pool)
+
+
+def _nfkc_fallback(text: str, casefold: bool) -> str:
+    """Approximate nmt_nfkc when a model embeds no charsmap: unicodedata NFKC
+    plus the NMT whitespace/control conventions (tab/newline and unicode
+    spaces -> ASCII space, zero-width/control characters removed)."""
+    import unicodedata
+
+    text = unicodedata.normalize("NFKC", text)
+    out = []
+    for ch in text:
+        if ch in ("\t", "\n", "\r", "\v", "\f"):
+            out.append(" ")
+            continue
+        cat = unicodedata.category(ch)
+        if cat == "Zs":
+            out.append(" ")
+        elif cat in ("Cc", "Cf"):
+            continue  # drop controls / zero-width formatting
+        else:
+            out.append(ch)
+    text = "".join(out)
+    return text.casefold() if casefold else text
 
 
 # ------------------------------------------------------------------- encoder
@@ -201,6 +355,11 @@ class SentencePieceProcessor:
             for i, (p, t) in enumerate(zip(self._m.pieces, self._m.types))
             if t == BYTE and p.startswith("<0x") and p.endswith(">")
         }
+        self._charsmap = (
+            _Charsmap(self._m.precompiled_charsmap)
+            if self._m.precompiled_charsmap
+            else None
+        )
 
     # -- vocab ----------------------------------------------------------
 
@@ -219,6 +378,13 @@ class SentencePieceProcessor:
     # -- normalize ------------------------------------------------------
 
     def _normalize(self, text: str) -> str:
+        if self._charsmap is not None:
+            # Exact path: the model's own precompiled NFKC (or other) map.
+            text = self._charsmap.normalize_bytes(text.encode("utf-8")).decode(
+                "utf-8", errors="replace"
+            )
+        elif "nfkc" in self._m.normalizer_name:
+            text = _nfkc_fallback(text, casefold=self._m.normalizer_name.endswith("_cf"))
         if self._m.remove_extra_whitespaces:
             text = " ".join(text.split())
         if self._m.add_dummy_prefix and text:

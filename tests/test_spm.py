@@ -150,3 +150,63 @@ def test_split_into_best_sentences_with_real_tokenizer(model_file):
     chunks = split_into_best_sentences(tok, text, max_tokens=8)
     assert len(chunks) >= 2
     assert "".join(c.replace(" ", "") for c in chunks).lower().startswith("helloworld.")
+
+
+# ----------------------------------------------------- precompiled charsmap
+
+
+def _charsmap_fixture():
+    # A slice of real NFKC behavior: fullwidth, ligature, circled digit,
+    # precomposed-vs-combining, and a multi-char key.
+    return {
+        "Ａ": "A",          # fullwidth A
+        "ﬁ": "fi",          # latin ligature fi
+        "①": "1",           # circled one
+        "é": "é",     # e + combining acute -> precomposed
+        "…": "...",         # ellipsis
+        "ＡＢ": "AB",        # longest-match over the single-char key
+    }
+
+
+def test_charsmap_roundtrip_longest_match():
+    from pocket_tts_tpu.utils.spm import _Charsmap, build_precompiled_charsmap
+
+    cm = _Charsmap(build_precompiled_charsmap(_charsmap_fixture()))
+    norm = lambda s: cm.normalize_bytes(s.encode("utf-8")).decode("utf-8")
+    assert norm("Ａ") == "A"
+    assert norm("ＡＢ") == "AB"          # longest match wins over Ａ->A
+    assert norm("ＡＣ") == "AＣ"         # fall back to the 1-char key
+    assert norm("ﬁn") == "fin"
+    assert norm("①①x") == "11x"
+    assert norm("café …") == "café ..."
+    assert norm("plain ascii.") == "plain ascii."
+
+
+def test_charsmap_applied_in_tokenizer(tmp_path):
+    from pocket_tts_tpu.utils.spm import build_precompiled_charsmap
+
+    path = tmp_path / "nfkc.model"
+    path.write_bytes(
+        build_model_proto(
+            _fixture_pieces(),
+            normalizer_name="nmt_nfkc",
+            precompiled_charsmap=build_precompiled_charsmap(_charsmap_fixture()),
+        )
+    )
+    sp = SentencePieceProcessor(str(path))
+    # "ﬁ" is not in the vocabulary; after charsmap NFKC it becomes "fi".
+    assert sp.encode("ﬁsh", out_type=str) == sp.encode("fish", out_type=str)
+    assert sp.encode("ＡＢc") == sp.encode("ABc")
+
+
+def test_nfkc_fallback_without_charsmap(tmp_path):
+    path = tmp_path / "named.model"
+    path.write_bytes(
+        build_model_proto(_fixture_pieces(), normalizer_name="nmt_nfkc")
+    )
+    sp = SentencePieceProcessor(str(path))
+    # unicodedata-NFKC fallback: compatibility forms fold to ASCII, zero-width
+    # characters vanish, unicode spaces become ASCII space.
+    assert sp.encode("ﬁsh", out_type=str) == sp.encode("fish", out_type=str)
+    assert sp.encode("a​b") == sp.encode("ab")
+    assert sp.encode("a b") == sp.encode("a b")

@@ -108,3 +108,30 @@ def test_clone_refused_without_voice_cloning_weights(model, tmp_path):
             model.get_state_for_audio_prompt(path)
     finally:
         model.has_voice_cloning = True
+
+
+def test_encode_bucketing_stable_jit_cache(model):
+    """Distinct prompt lengths within one power-of-2 frame bucket share ONE
+    compiled encoder (VERDICT r2 item 5: no per-length recompilation)."""
+    before = {k for k in model._jit_cache if k[0] == "encode_audio"}
+    frame = model.frame_size
+    # three lengths, all in the (4, 8] frame bucket -> bucket = 8 frames
+    for t in (5 * frame - 7, 6 * frame + 123, 8 * frame):
+        wav = (RNG.standard_normal((1, 1, t)) * 0.1).astype(np.float32)
+        out = model._encode_audio(wav)
+        assert out.shape[1] == -(-t // frame)
+    after = {k for k in model._jit_cache if k[0] == "encode_audio"}
+    assert len(after - before) == 1, after - before
+
+
+def test_encode_bucketing_parity_with_exact_length(model):
+    """Tail zero-padding to the bucket does not change the valid frames: the
+    encode chain is causal (left-padded convs + causal windowed attention)."""
+    frame = model.frame_size
+    t = 5 * frame + 311
+    wav = (RNG.standard_normal((1, 1, t)) * 0.1).astype(np.float32)
+    bucketed = np.asarray(model._encode_audio(wav))
+    n_valid = bucketed.shape[1]
+    exact_fn = model._encode_audio_jit(1, t)
+    exact = np.asarray(exact_fn(model.params, jnp.asarray(wav)))[:, :n_valid]
+    np.testing.assert_allclose(bucketed, exact, rtol=0, atol=1e-5)
