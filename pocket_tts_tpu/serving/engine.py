@@ -112,24 +112,39 @@ class TTSEngine:
         warmup_frames: int = 1,
         emit_pcm16: bool = False,
         record_frame_times: bool = False,
+        max_capacity: Optional[int] = None,
     ):
         self.model = model
         self.num_slots = slots
         self.segment_frames = segment_frames
         self.capacity = capacity
         self.text_pad = text_pad
+        # Dynamic capacity: a submit() whose KV need exceeds `capacity` is
+        # accepted and the cache grows to the next bucket at a tick boundary
+        # (expand + one recompile, amortized) up to `max_capacity`; only
+        # beyond that is it rejected. Default headroom: 4x the initial size.
+        self.max_capacity = 4 * capacity if max_capacity is None else max_capacity
+        self._target_capacity = capacity
         self.warmup_frames = warmup_frames
         self.emit_pcm16 = emit_pcm16
         self.record_frame_times = record_frame_times
 
         flow_lm, mimi = model.flow_lm, model.mimi
         B = slots
-        self.flow_state = flow_lm.init_state(B, capacity, dtype=model.state_dtype)
-        self.mimi_state = mimi.init_decode_state(
-            B, kv_dtype=model.state_dtype, max_chunk_frames=segment_frames
+        # Persistent slot state; under model.mesh (multi-chip serving) the
+        # slots batch-shard over dp and KV heads over tp — every tick then
+        # runs as one SPMD program with XLA collectives over ICI.
+        self.flow_state = model._place_batch(
+            flow_lm.init_state(B, capacity, dtype=model.state_dtype), B
+        )
+        self.mimi_state = model._place_batch(
+            mimi.init_decode_state(
+                B, kv_dtype=model.state_dtype, max_chunk_frames=segment_frames
+            ),
+            B,
         )
         # max_gen = 0 marks a slot inactive (emit is always masked off).
-        self.carry = initial_carry(flow_lm, B, [0] * B, [0] * B)
+        self.carry = model._place_batch(initial_carry(flow_lm, B, [0] * B, [0] * B), B)
         self._written = 0  # host mirror of the batch-common write index
         self._pos = [0] * B  # host mirror of per-slot stream positions
         self._warm_mimi_row = None  # cached warmed-up B=1 mimi state
@@ -228,12 +243,19 @@ class TTSEngine:
             voice_state.written + self.text_pad + max_gen + 2 * self.segment_frames
             for _, max_gen, _ in specs
         )
-        if worst > self.capacity:
+        if worst > self.max_capacity:
             raise ValueError(
-                f"request needs ~{worst} KV slots but engine capacity is "
-                f"{self.capacity}; raise TTSEngine(capacity=...) or shorten the "
-                "voice prompt"
+                f"request needs ~{worst} KV slots but the engine's max_capacity is "
+                f"{self.max_capacity}; raise TTSEngine(max_capacity=...) or shorten "
+                "the voice prompt"
             )
+        if worst > self.capacity:
+            # Grow at the next tick boundary (see _maybe_grow); the request
+            # stays queued until the expanded cache can hold it.
+            from pocket_tts_tpu.models.tts_model import _bucket
+
+            with self._lock:
+                self._target_capacity = max(self._target_capacity, _bucket(worst))
         with self._lock:
             handle = RequestHandle(self._next_id, text)
             self._next_id += 1
@@ -401,9 +423,45 @@ class TTSEngine:
             lengths[b] = len(toks)
             self._pos[b] += len(toks)
         self.flow_state = self._prefill(
-            self.model.params, self.flow_state, jnp.asarray(tokens), jnp.asarray(lengths)
+            self.model.params,
+            self.flow_state,
+            self.model._place_batch(tokens, B),
+            self.model._place_batch(lengths, B),
         )
         self._written += self.text_pad
+
+    # ------------------------------------------------------------ growth
+
+    def _maybe_grow(self):
+        """Expand the KV cache to the pending target capacity (set by an
+        oversized submit). Runs at a tick boundary: no segment is mid-flight
+        on the old shapes, so this is one functional expand + one jit
+        recompile of the capacity-keyed programs — amortized over the life
+        of the larger cache (VERDICT r2 item 7)."""
+        with self._lock:
+            target = self._target_capacity
+        if target <= self.capacity:
+            return
+        logger.info(
+            "engine: growing KV capacity %d -> %d", self.capacity, target
+        )
+        B = self.num_slots
+        self.flow_state = self.model._place_batch(
+            self.model.flow_lm.expand_state(self.flow_state, target), B
+        )
+        self.capacity = target
+        self._voice_cache.clear()  # cached voices are padded to the old size
+        self._compact_jit = self.model._compact_jit(B, target, donate=True)
+        # Compile the new compaction program now (and reclaim dead slots
+        # while at it) instead of stalling live streams at first use.
+        max_valid = -(-(max(self._pos) + 1) // 8) * 8
+        if max_valid < self._written:
+            self.flow_state = self._compact_jit(self.flow_state, jnp.int32(max_valid))
+            self._written = max_valid
+        else:
+            self.flow_state = self._compact_jit(
+                self.flow_state, jnp.int32(self._written)
+            )
 
     # ------------------------------------------------------------ compaction
 
@@ -427,6 +485,7 @@ class TTSEngine:
         With block_seconds > 0 the first fetch blocks briefly — used by the
         run loop when fully idle so it doesn't busy-spin a CPU core.
         """
+        self._maybe_grow()
         to_admit = []
         first = True
         for b, slot in enumerate(self._slots):

@@ -227,3 +227,33 @@ def test_engine_frame_times_and_lateness(model, voice):
     lateness = engine.frame_lateness(h)
     assert lateness.shape == (n_frames,)
     assert lateness[0] == 0.0  # playback clock starts at the first frame
+
+
+def test_engine_grows_capacity_for_oversized_request(model):
+    """A request exceeding the constructed capacity is admitted after the
+    engine grows the KV cache at a tick boundary (VERDICT r2 item 7)."""
+    long_voice = model._state_from_prompt(
+        jnp.array(RNG.standard_normal((1, 64, model.flow_lm.dim)).astype(np.float32))
+    )
+    engine = TTSEngine(model, slots=2, segment_frames=4, capacity=128,
+                       text_pad=16, max_capacity=1024)
+    text = "one two three four five six seven eight nine ten eleven twelve."
+    h = engine.submit(text, long_voice, frames_after_eos=1)
+    engine.run(stop_when_idle=True)
+    assert engine.capacity > 128  # grew
+    audio = h.audio()
+    assert audio.shape[0] > 0 and np.isfinite(audio).all()
+    # short requests still work on the grown engine
+    h2 = engine.submit("hello there.", long_voice, frames_after_eos=1)
+    engine.run(stop_when_idle=True)
+    assert h2.audio().shape[0] > 0
+
+
+def test_engine_rejects_beyond_max_capacity(model, voice):
+    engine = TTSEngine(model, slots=1, segment_frames=4, capacity=64,
+                       text_pad=16, max_capacity=64)
+    with pytest.raises(ValueError, match="max_capacity"):
+        engine.submit(
+            "one two three four five six seven eight nine ten eleven twelve.",
+            voice,
+        )

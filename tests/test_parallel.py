@@ -130,3 +130,86 @@ def test_head_tp_no_allgather_in_decode_step():
     # tensors (d_model-sized last dims at 4-D shapes).
     big = [l for l in gathers if f"{cap}" in l.split("all-gather")[0]]
     assert not big, f"KV/head tensors are being all-gathered:\n" + "\n".join(big)
+
+
+# ---------------------------------------------------- product API under mesh
+
+
+def _tiny_tts_model(mesh=None):
+    from tiny_config import tiny_config
+    from pocket_tts_tpu.models.flow_lm import FlowLMModel
+    from pocket_tts_tpu.models.mimi import MimiModel
+    from pocket_tts_tpu.models.text import FallbackWordTokenizer
+    from pocket_tts_tpu.models.tts_model import TTSModel
+
+    cfg = tiny_config()
+    flow_lm = FlowLMModel(
+        config=cfg.flow_lm,
+        latent_dim=cfg.mimi.quantizer.dimension,
+        speaker_dim=cfg.mimi.seanet.dimension,
+    )
+    mimi = MimiModel(config=cfg.mimi)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    params = {"flow_lm": flow_lm.init_params(k1), "mimi": mimi.init_params(k2)}
+    if mesh is not None:
+        params = shard_params(mesh, params)
+    return TTSModel(
+        flow_lm=flow_lm,
+        mimi=mimi,
+        params=params,
+        tokenizer=FallbackWordTokenizer(4000),
+        temp=0.0,  # deterministic: flow ODE from zero noise
+        lsd_decode_steps=1,
+        noise_clamp=None,
+        eos_threshold=1e9,  # never EOS: lengths fixed by max_gen
+        config=cfg,
+        seed=0,
+        mesh=mesh,
+    )
+
+
+def _voice(model, dim, T=8):
+    prompt = jax.random.normal(jax.random.PRNGKey(7), (1, T, dim), jnp.float32) * 0.02
+    return model._state_from_prompt(prompt)
+
+
+def test_generate_audio_batch_mesh_parity():
+    """TTSModel with mesh= is a product path: same audio as single-device."""
+    texts = ["hello world", "the quick brown fox", "one two three four", "ok"]
+    ref_model = _tiny_tts_model()
+    ref = ref_model.generate_audio_batch(_voice(ref_model, ref_model.flow_lm.dim), texts)
+
+    mesh = make_mesh(dp=2, tp=2)
+    m = _tiny_tts_model(mesh)
+    out = m.generate_audio_batch(_voice(m, m.flow_lm.dim), texts)
+
+    assert len(out) == len(ref)
+    for a, b in zip(out, ref):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=2e-5)
+
+
+def test_engine_mesh_tick_parity():
+    """TTSEngine on a mesh model: sharded ticks produce single-device audio."""
+    from pocket_tts_tpu.serving.engine import TTSEngine
+
+    texts = ["alpha beta", "gamma delta epsilon", "zeta", "eta theta"]
+
+    def run(mesh):
+        m = _tiny_tts_model(mesh)
+        voice = _voice(m, m.flow_lm.dim)
+        eng = TTSEngine(m, slots=4, segment_frames=4, capacity=256, text_pad=16,
+                        warmup_frames=1)
+        handles = [eng.submit(t, voice, frames_after_eos=2) for t in texts]
+        eng.run(stop_when_idle=True)
+        assert eng.flow_state["transformer"]["layers"][0]["k"] is not None
+        if mesh is not None:
+            k = eng.flow_state["transformer"]["layers"][0]["k"]
+            assert not k.sharding.is_fully_replicated  # really sharded
+        return [h.audio() for h in handles]
+
+    ref = run(None)
+    out = run(make_mesh(dp=2, tp=2))
+    for a, b in zip(out, ref):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=2e-5)
