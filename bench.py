@@ -129,25 +129,49 @@ def bench_engine(model, voice, batch: int, bursts: int = 3) -> dict:
         emit_pcm16=True, warmup_frames=1, record_frame_times=True,
     )
 
-    def burst():
+    def burst(churn: int = 4, churn_delay: float = 0.8):
+        import threading
+
         handles = [engine.submit(TEXT, voice, frames_after_eos=2) for _ in range(batch)]
+        # Mid-churn admission: a few requests arrive while all slots are
+        # busy; their TTFA includes the queue wait for a slot to free.
+        late: list = []
+
+        def late_submit():
+            time.sleep(churn_delay)
+            late.extend(
+                engine.submit(TEXT, voice, frames_after_eos=2) for _ in range(churn)
+            )
+
+        churn_thread = threading.Thread(target=late_submit)
+        churn_thread.start()
         t0 = time.monotonic()
         engine.run(stop_when_idle=True)
+        churn_thread.join()
+        engine.run(stop_when_idle=True)  # drain any post-idle late submits
         wall = time.monotonic() - t0
-        total = sum(h.audio().shape[0] for h in handles) / SAMPLE_RATE
+        # The wall covers the churn streams' decode too, so their audio
+        # counts toward the aggregate.
+        total = sum(h.audio().shape[0] for h in handles + late) / SAMPLE_RATE
         # Real-time deliverability: worst per-frame lateness vs an 80 ms
         # player started at each stream's first frame (aggregate RTF alone
         # does not prove streams never stall mid-playback).
         worst = np.array([engine.frame_lateness(h).max() for h in handles])
-        return total / wall, wall, worst
+        # TTFA under load (VERDICT r2 item 4): submit -> first delivered
+        # frame, for the cold 64-burst and for the mid-churn admissions.
+        ttfa = np.array([h.frame_times[0] - h.submit_time for h in handles])
+        churn_ttfa = np.array(
+            [h.frame_times[0] - h.submit_time for h in late if h.frame_times]
+        )
+        return total / wall, wall, worst, ttfa, churn_ttfa
 
-    burst()  # engine startup: jit tracing + compile (one-time, untimed)
+    burst(churn=0)  # engine startup: jit tracing + compile (one-time, untimed)
     results = [burst() for _ in range(bursts)]
     results.sort(key=lambda r: r[0])
     # All stats come from the SAME median burst, so one environment hiccup
     # (the relay's latency tail) can't poison the lateness numbers of an
     # otherwise-representative run while a different burst sets the RTF.
-    aggregate_rtf, wall, worst = results[len(results) // 2]
+    aggregate_rtf, wall, worst, ttfa, churn_ttfa = results[len(results) // 2]
     return {
         "batch": batch,
         "aggregate_rtf": aggregate_rtf,
@@ -155,15 +179,21 @@ def bench_engine(model, voice, batch: int, bursts: int = 3) -> dict:
         "lateness_p50_ms": float(np.percentile(worst, 50) * 1000),
         "lateness_p99_ms": float(np.percentile(worst, 99) * 1000),
         "stalled_streams_3frame_buffer": int((worst > 3 * 0.08).sum()),
+        "ttfa_p50_ms": float(np.percentile(ttfa, 50) * 1000),
+        "ttfa_p99_ms": float(np.percentile(ttfa, 99) * 1000),
+        "churn_ttfa_p50_ms": (
+            float(np.percentile(churn_ttfa, 50) * 1000) if churn_ttfa.size else None
+        ),
     }
 
 
-def bench_batch(model, voice, batch: int, runs: int = 3) -> dict:
+def bench_batch(model, voice, batch: int, runs: int = 5) -> dict:
     """Bulk batched synthesis (BASELINE config #4): generate_audio_batch.
 
     Median of `runs` timed runs — a single multi-second relay stall otherwise
     poisons the recorded number (observed: 6.6x on a run whose siblings
-    measured 428x/522x)."""
+    measured 428x/522x); 5 runs keep the median stable even with one or two
+    stalled runs in the set (VERDICT r2 item 3)."""
     from pocket_tts_tpu.models.tts_model import stack_states
 
     stacked = stack_states(model.flow_lm, [voice] * batch)
@@ -219,6 +249,13 @@ def main() -> None:
             "engine64_stalled_streams_3frame_buffer": engine[
                 "stalled_streams_3frame_buffer"
             ],
+            "engine64_ttfa_p50_ms": round(engine["ttfa_p50_ms"], 1),
+            "engine64_ttfa_p99_ms": round(engine["ttfa_p99_ms"], 1),
+            "engine64_churn_ttfa_p50_ms": (
+                round(engine["churn_ttfa_p50_ms"], 1)
+                if engine["churn_ttfa_p50_ms"] is not None
+                else None
+            ),
             "single_audio_sec": round(single["audio_sec"], 2),
             "single_stream_rtf_best": round(single["rtf_best"], 2),
             "targets": {"single_stream_rtf": 30.0, "streams": 64, "ttfa_p50_ms": 250.0},

@@ -72,6 +72,32 @@ logger = logging.getLogger(__name__)
 _BULK_SEGMENT_FRAMES = 64
 
 
+def _stream_schedule(max_gen_all: int, segment_frames: int) -> list[int]:
+    """Streaming segment schedule: 1, 2, 4, ... doubling to a 32-frame steady
+    state, tail bucketed to a power of 2.
+
+    Tiny first segments keep time-to-first-audio low; each dispatched segment
+    then costs ~2 ms of fixed host/relay overhead regardless of size, so
+    doubling converges the streaming wall clock toward bulk's. Frames still
+    YIELD one at a time — only dispatch granularity grows. Tail overshoot is
+    emit-masked and the stream positions rewind afterwards, so compiled
+    shapes stay bounded to {1, 2, 4, 8, 16, 32}.
+    """
+    # 32-frame steady state regardless of the (smaller) engine-style default
+    # segment size — dispatch granularity, not yield granularity; a larger
+    # segment_frames raises the cap (bounded at 64, the bulk segment size).
+    steady = min(64, max(32, 1 << (max(1, segment_frames) - 1).bit_length()))
+    sched, total, s = [], 0, 1
+    while total < max_gen_all:
+        rem = max_gen_all - total
+        if s > rem:
+            s = 1 << (rem - 1).bit_length()  # bucketed tail
+        sched.append(s)
+        total += s
+        s = min(s * 2, steady)
+    return sched
+
+
 def _bulk_schedule(max_gen_all: int) -> list[int]:
     """Bulk-mode segment schedule: as many 64-frame segments as fit, then one
     power-of-2 tail bucket covering the remainder.
@@ -811,7 +837,10 @@ class TTSModel:
 
         max_gen_all = int(max(max_gen))
         bulk_sched = _bulk_schedule(max_gen_all) if bulk else None
-        dispatch_budget = sum(bulk_sched) if bulk else max_gen_all
+        stream_sched = (
+            None if bulk else _stream_schedule(max_gen_all, segment_frames)
+        )
+        dispatch_budget = sum(bulk_sched if bulk else stream_sched)
         # Slot-indexed cache: capacity counts every write (incl. padding),
         # not stream positions. Before growing to a new bucket (= a new jit
         # compilation), try compacting the dead slots out — long
@@ -847,7 +876,10 @@ class TTSModel:
         # zero-latent warmup is deterministic and voice-independent, so the
         # warmed state is computed once per (B, chunk, warmup) shape and
         # reused — generation then starts with zero extra dispatches.
-        max_chunk = max(bulk_sched, default=1) if bulk else segment_frames
+        # Ring capacity must cover the largest chunk vocoded in one call; for
+        # streaming use the steady-state cap regardless of utterance length
+        # so every utterance shares ONE set of compiled shapes.
+        max_chunk = max(bulk_sched, default=1) if bulk else 32
         warm_key = ("warm_mimi", B, max_chunk, warmup_frames)
         warm_template = self._jit_cache.get(warm_key)
         if warm_template is None:
@@ -887,23 +919,10 @@ class TTSModel:
         temp, eos_threshold = consts
 
         def schedule_iter():
-            if bulk:
-                # Big segments + one bucketed tail (see _bulk_schedule):
-                # fewest dispatch round-trips, small masked overshoot.
-                yield from bulk_sched
-                return
-            # Streaming: tiny first segments for fast time-to-first-audio,
-            # then steady-state blocks of `segment_frames`.
-            total = 0
-            for s in (1, 2, 4):
-                s = min(s, segment_frames)
-                if total + s <= max_gen_all:
-                    yield s
-                    total += s
-            while total < max_gen_all:
-                s = min(segment_frames, max_gen_all - total)
-                yield s
-                total += s
+            # Bulk: big segments + one bucketed tail (see _bulk_schedule):
+            # fewest dispatch round-trips, small masked overshoot.
+            # Streaming: tiny first segments then doubling (_stream_schedule).
+            yield from (bulk_sched if bulk else stream_sched)
 
         # Pipelined dispatch: keep `lookahead` segments in flight beyond the
         # one being fetched, so device compute and device->host transfers

@@ -53,6 +53,10 @@ class RequestHandle:
 
     request_id: int
     text: str
+    # Wall-clock submit() time; with record_frame_times=True,
+    # frame_times[0] - submit_time is this stream's TTFA under load
+    # (queue wait + admission + prefill + first decode segment).
+    submit_time: float = 0.0
     # Wall-clock arrival time of every delivered frame (engine-side enqueue;
     # populated when the engine runs with record_frame_times=True). Feed to
     # frame_lateness() to check real-time playback deadlines.
@@ -257,7 +261,7 @@ class TTSEngine:
             with self._lock:
                 self._target_capacity = max(self._target_capacity, _bucket(worst))
         with self._lock:
-            handle = RequestHandle(self._next_id, text)
+            handle = RequestHandle(self._next_id, text, submit_time=time.monotonic())
             self._next_id += 1
         handle._voice = voice_state
         handle._chunks = specs[1:]

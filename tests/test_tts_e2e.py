@@ -298,3 +298,20 @@ def test_bulk_schedule_shapes():
         assert sum(sched) - n < 64  # overshoot bounded by one big segment
         assert set(sched) <= {8, 16, 32, 64}
         assert sorted(sched, reverse=True) == sched  # big first, tail last
+
+
+def test_stream_schedule_shapes():
+    """Streaming schedule: 1,2,4 warmup then doubling to the 32 steady state
+    with a power-of-2 tail; total >= max_gen, bounded overshoot + shape set."""
+    from pocket_tts_tpu.models.tts_model import _stream_schedule
+
+    assert _stream_schedule(0, 8) == []
+    assert _stream_schedule(1, 8) == [1]
+    assert _stream_schedule(7, 8) == [1, 2, 4]
+    assert _stream_schedule(138, 8) == [1, 2, 4, 8, 16, 32, 32, 32, 16]
+    for n in range(1, 400):
+        sched = _stream_schedule(n, 8)
+        assert sum(sched) >= n
+        assert sum(sched) - n < 32  # overshoot bounded by the tail bucket
+        assert set(sched) <= {1, 2, 4, 8, 16, 32}
+        assert sched[0] == 1  # TTFA: first dispatch is a single frame
