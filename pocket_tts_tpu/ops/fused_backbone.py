@@ -64,6 +64,16 @@ def fused_backbone_enabled() -> bool:
     return env_flag("POCKET_TTS_FUSED_BACKBONE", True)
 
 
+def fused_int8_act_enabled() -> bool:
+    """int8 activation quantization inside the megakernel: activations are
+    dynamically quantized per matmul (symmetric, per-step scale) so the MXU
+    runs int8 x int8 -> int32 at twice the bf16 rate with NO int8->bf16
+    weight upcast on the VPU. Costs ~0.4% relative error per projection
+    (see tests/test_fused_backbone.py int8-act tolerances).
+    POCKET_TTS_FUSED_INT8_ACT=0 opts out."""
+    return env_flag("POCKET_TTS_FUSED_INT8_ACT", True)
+
+
 def _erf(x: jnp.ndarray) -> jnp.ndarray:
     """f32 erf via Abramowitz-Stegun 7.1.26 (max abs error 1.5e-7)."""
     a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
@@ -121,6 +131,7 @@ def _kernel(
     num_heads: int,
     head_dim: int,
     cache_dtype,
+    int8_act: bool,
 ):
     (k_hbm, v_hbm) = refs[:num_layers], refs[num_layers : 2 * num_layers]
     y_ref, knew_ref, vnew_ref = refs[2 * num_layers : 2 * num_layers + 3]
@@ -134,9 +145,20 @@ def _kernel(
     H, d = num_heads, head_dim
 
     def matmul_chunk(xrow, j, srow):
-        """xrow [8, E] f32 @ int8 chunk j of the pair [E, out] -> [8, out] f32
-        (bf16 MXU, f32 accumulation, per-output scale srow — mirrors
-        ops/linear int8 math)."""
+        """xrow [8, E] f32 @ int8 chunk j of the pair [E, out] -> [8, out] f32.
+
+        int8_act: the live row (row 0; rows 1..7 carry padding/garbage and
+        are never read downstream) is dynamically quantized to int8 so the
+        MXU runs int8 x int8 -> int32 — twice the bf16 rate, and the int8
+        weight chunk feeds the MXU directly with NO VPU upcast pass. The
+        activation scale folds into the per-output weight scale afterwards.
+        Otherwise: bf16 x bf16 -> f32 accumulate (mirrors ops/linear)."""
+        if int8_act:
+            amax = jnp.max(jnp.abs(xrow[0:1, :]))  # live row only
+            s_x = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+            xq = jnp.clip(jnp.round(xrow * (1.0 / s_x)), -127, 127).astype(jnp.int8)
+            y = jnp.dot(xq, w_ref[0, j], preferred_element_type=jnp.int32)
+            return y.astype(jnp.float32) * (s_x * s_ref[0, srow, :])[None, :]
         w = w_ref[0, j].astype(jnp.bfloat16)
         y = jnp.dot(xrow.astype(jnp.bfloat16), w, preferred_element_type=jnp.float32)
         return y * s_ref[0, srow, :][None, :]
@@ -236,15 +258,13 @@ def _kernel(
             v_self = v16[h, :].astype(cache_dtype).astype(jnp.float32)
             attn16[h, :] = out[0] + w_self * v_self
 
-        # out-projection: sublane-sliced transposed weight (head-major rows)
-        wo = w_ref[0, 1].astype(jnp.bfloat16)  # [E, E] = [in(head-major), out]
-        acc = jnp.zeros((1, E), jnp.float32)
+        # out-projection on the flattened head-major attention row. yacc_s is
+        # free at this phase (ff2 overwrites it at phase 5); rows 1..7 hold
+        # stale data but matmul output rows are independent and only row 0 is
+        # read (matmul_chunk's quant scale also reads row 0 only).
         for h in range(H):
-            a_h = attn16[h, :][None, :].astype(jnp.bfloat16)  # [1, d]
-            acc = acc + jnp.dot(
-                a_h, wo[h * d : (h + 1) * d, :], preferred_element_type=jnp.float32
-            )
-        acc = acc * s_ref[0, _SOUT, :][None, :]
+            yacc_s[0, h * d : (h + 1) * d] = attn16[h, :]
+        acc = matmul_chunk(yacc_s[:, :], 1, _SOUT)
         x_s[0, :] = x_s[0, :] + acc[0]
         lnx_s[:, :] = _layer_norm_f32(x_s[:, :], ln_ref[0, 2][None, :], ln_ref[0, 3][None, :])
 
@@ -263,11 +283,28 @@ def _kernel(
         def _(pp=pp):
             for j in range(2):
                 c = 2 * pp + j
-                part = jnp.dot(
-                    h1_s[:, c * E : (c + 1) * E].astype(jnp.bfloat16),
-                    w_ref[0, j].astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32,
-                )
+                hseg = h1_s[:, c * E : (c + 1) * E]
+                if int8_act:
+                    # Per-chunk activation scale (the chunks split the
+                    # contraction, so each partial product carries its own
+                    # s_x before accumulation; the per-output weight scale
+                    # applies once at the end).
+                    amax = jnp.max(jnp.abs(hseg[0:1, :]))
+                    s_x = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+                    hq = jnp.clip(
+                        jnp.round(hseg * (1.0 / s_x)), -127, 127
+                    ).astype(jnp.int8)
+                    part = (
+                        jnp.dot(hq, w_ref[0, j], preferred_element_type=jnp.int32)
+                        .astype(jnp.float32)
+                        * s_x
+                    )
+                else:
+                    part = jnp.dot(
+                        hseg.astype(jnp.bfloat16),
+                        w_ref[0, j].astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32,
+                    )
                 if c == 0:
                     yacc_s[:, :] = part
                 else:
@@ -347,7 +384,7 @@ def pack_backbone_int8(layers_params) -> dict:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "interpret")
+    jax.jit, static_argnames=("num_heads", "interpret", "int8_act")
 )
 def fused_backbone_decode(
     packed: dict,
@@ -360,6 +397,7 @@ def fused_backbone_decode(
     sin: jnp.ndarray,
     num_heads: int = 16,
     interpret: bool = False,
+    int8_act: bool = False,
 ):
     """Run the full backbone decode step -> (y [1, E] f32,
     k_new [L, H, d], v_new [L, H, d] in cache dtype).
@@ -387,6 +425,7 @@ def fused_backbone_decode(
         num_heads=H,
         head_dim=d,
         cache_dtype=cache_dtype,
+        int8_act=int8_act,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -240,7 +240,10 @@ class StreamingTransformer:
         keep the exact layout of the XLA path."""
         from jax import lax
 
-        from pocket_tts_tpu.ops.fused_backbone import fused_backbone_decode
+        from pocket_tts_tpu.ops.fused_backbone import (
+            fused_backbone_decode,
+            fused_int8_act_enabled,
+        )
 
         cos, sin = rope_cache  # [1, 1, 1, d/2]
         layers = state["layers"]
@@ -254,6 +257,7 @@ class StreamingTransformer:
             cos[0, 0, 0],
             sin[0, 0, 0],
             num_heads=self.num_heads,
+            int8_act=fused_int8_act_enabled(),
         )
         new_layers = []
         for i, l in enumerate(layers):

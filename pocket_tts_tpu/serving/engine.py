@@ -161,6 +161,9 @@ class TTSEngine:
         # compaction and stall every live stream for the compile duration.
         self._compact_jit = model._compact_jit(B, capacity, donate=True)
         self.flow_state = self._compact_jit(self.flow_state, jnp.int32(0))
+        # Compile every admission-group size now (no-op admissions): an
+        # unseen size compiling mid-serving stalls every live stream.
+        self._precompile_admission()
 
         self._slots = [_Slot() for _ in range(B)]
         self._pending: "queue.Queue[tuple[RequestHandle, ModelState, int, int, list[int]]]" = (
@@ -352,18 +355,25 @@ class TTSEngine:
             self._voice_cache[key] = hit
         return hit[1]
 
-    def _admit_group(self, items: list) -> list:
-        """Splice a group of admissions in one jitted dispatch.
+    def _admit_sizes(self) -> list[int]:
+        """The fixed set of compiled admission-group sizes: {1, 8, 64, ...}
+        capped at the slot count. Groups pad UP to the nearest size by
+        repeating their last item (idempotent splice), so at most
+        log8(slots)+1 admission executables ever exist — each compile is
+        O(10 s) on remote-compile backends and would otherwise stall every
+        live stream the first time an unseen group size arrives mid-serving."""
+        sizes, k = [], 1
+        while k < self.num_slots:
+            sizes.append(k)
+            k *= 8
+        sizes.append(self.num_slots)
+        return sizes
 
-        items: [(b, handle, voice_state, fae, max_gen, tokens)]. Groups are
-        split into power-of-2 sizes so at most log2(slots) executables exist.
-        Returns [(b, tokens)] for the batched prefill.
-        """
-        flow_lm, mimi, model = self.model.flow_lm, self.model.mimi, self.model
-
-        # Warmed Mimi row: the zero-latent warmup is deterministic and
-        # voice-independent, so it is computed once and spliced everywhere.
+    def _warm_mimi(self):
+        """Warmed B=1 Mimi row: the zero-latent warmup is deterministic and
+        voice-independent, so it is computed once and spliced everywhere."""
         if self._warm_mimi_row is None:
+            flow_lm, mimi, model = self.model.flow_lm, self.model.mimi, self.model
             row_mimi = mimi.init_decode_state(
                 1, kv_dtype=model.state_dtype, max_chunk_frames=self.segment_frames
             )
@@ -373,16 +383,64 @@ class TTSEngine:
                 for _ in range(self.warmup_frames):
                     _, row_mimi = frame_fn(model.params, zero_latent, row_mimi)
             self._warm_mimi_row = row_mimi
+        return self._warm_mimi_row
+
+    def _precompile_admission(self):
+        """Compile every admission-group size NOW, at startup, by running
+        no-op admissions (zero voice rows into slot 0 with max_gen=0 — the
+        inactive-slot encoding) on the fresh state. Without this, the first
+        mid-serving admission of an unseen group size compiles under live
+        traffic and every active stream stalls for the duration (measured
+        ~14 s per size through a remote-compile relay)."""
+        slots = getattr(self, "_slots", None)  # not yet built during __init__
+        b = 0
+        if slots is not None:
+            b = next((i for i, s in enumerate(slots) if not s.active), None)
+            if b is None:  # growth with every slot busy: compile on first use
+                logger.warning(
+                    "engine: no inactive slot for admission precompile; "
+                    "group sizes will compile at first admission"
+                )
+                return
+        dummy_voice = self.model.flow_lm.init_state(
+            1, self.capacity, dtype=self.model.state_dtype
+        )
+        warm = self._warm_mimi()
+        zero = jnp.int32(0)
+        bi = jnp.int32(b)
+        for k in self._admit_sizes():
+            self.flow_state, self.mimi_state, self.carry = self._admit_jit(
+                self.flow_state,
+                self.mimi_state,
+                self.carry,
+                [dummy_voice] * k,
+                warm,
+                [bi] * k,
+                [zero] * k,
+                [zero] * k,
+                [zero] * k,  # max_gen = 0 -> the slot stays inactive
+                jnp.int32(self._written),
+            )
+
+    def _admit_group(self, items: list) -> list:
+        """Splice a group of admissions in one jitted dispatch.
+
+        items: [(b, handle, voice_state, fae, max_gen, tokens)]. Groups pad
+        up to the nearest compiled size (see _admit_sizes) by repeating the
+        last item — splicing the same row twice is idempotent.
+        Returns [(b, tokens)] for the batched prefill.
+        """
+        self._warm_mimi()
 
         admitted = []
         start = 0
         while start < len(items):
-            remaining = len(items) - start
-            k = 1
-            while k * 2 <= remaining:
-                k *= 2
-            group = items[start : start + k]
-            start += k
+            orig = items[start : start + self.num_slots]
+            start += len(orig)
+            k = next(s for s in self._admit_sizes() if s >= len(orig))
+            # Pad to the compiled size by repeating the last item; slot
+            # bookkeeping below iterates `orig` only.
+            group = orig + [orig[-1]] * (k - len(orig))
 
             voice_trees = [self._expanded_voice(v) for _, _, v, *_ in group]
             # The batch write index must clear every spliced voice's own
@@ -402,7 +460,7 @@ class TTSEngine:
                 [jnp.int32(mg) for _, _, _, _, mg, _ in group],
                 jnp.int32(self._written),
             )
-            for b, handle, voice_state, fae, max_gen, tokens in group:
+            for b, handle, voice_state, fae, max_gen, tokens in orig:
                 self._pos[b] = voice_state.pos[0]
                 slot = self._slots[b]
                 slot.active = True
@@ -456,6 +514,8 @@ class TTSEngine:
         self.capacity = target
         self._voice_cache.clear()  # cached voices are padded to the old size
         self._compact_jit = self.model._compact_jit(B, target, donate=True)
+        # New capacity = new shapes for the admission programs too.
+        self._precompile_admission()
         # Compile the new compaction program now (and reclaim dead slots
         # while at it) instead of stalling live streams at first use.
         max_valid = -(-(max(self._pos) + 1) // 8) * 8

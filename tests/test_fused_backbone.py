@@ -86,6 +86,9 @@ def test_fused_path_wiring_matches_oracle(setup, monkeypatch):
 
     import pocket_tts_tpu.ops.fused_backbone as fb
 
+    # Pin the exact (bf16-activation) kernel mode: this test checks the
+    # wiring at tight tolerance; int8-act parity has its own looser test.
+    monkeypatch.setenv("POCKET_TTS_FUSED_INT8_ACT", "0")
     orig = fb.fused_backbone_decode
     monkeypatch.setattr(
         fb, "fused_backbone_decode", lambda *a, **k: orig(*a, **{**k, "interpret": True})
@@ -127,3 +130,41 @@ def test_capacity_guard_falls_back_to_oracle(setup):
     out, _ = t(fused_params, x, big, pos)
     ref, _ = t(qparams, x, big, pos)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0)
+
+
+def test_kernel_int8_act_parity(setup):
+    """int8 activation quantization (MXU int8 x int8 path): ~1% relative
+    error vs the weight-only-int8 oracle — the dynamic per-matmul activation
+    scale costs one extra rounding per projection."""
+    t, qparams, packed, state = setup
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 1, E), jnp.float32) * 0.5
+    positions = jnp.full((1, 1), 17, jnp.int32)
+    ref_out, ref_state = t(qparams, x, state, positions)
+
+    from pocket_tts_tpu.ops.rope import rope_angles
+
+    cos, sin = rope_angles(positions, E // H)
+    y, k_new, v_new = fused_backbone_decode(
+        packed,
+        x[:, 0, :],
+        tuple(l["k"] for l in state["layers"]),
+        tuple(l["v"] for l in state["layers"]),
+        state["layers"][0]["slot_pos"],
+        positions[:, 0],
+        cos[0, 0, 0],
+        sin[0, 0, 0],
+        num_heads=H,
+        interpret=True,
+        int8_act=True,
+    )
+    ref = np.asarray(ref_out[0, 0])
+    err = np.abs(np.asarray(y[0]) - ref)
+    assert err.max() < 0.12, err.max()          # absolute ceiling
+    assert err.max() / np.abs(ref).max() < 0.03  # ~1% relative, margin 3x
+    widx = int(state["widx"])
+    for i in range(L):
+        np.testing.assert_allclose(
+            np.asarray(k_new[i], np.float32),
+            np.asarray(ref_state["layers"][i]["k"][0, :, widx, :], np.float32),
+            atol=0.12,
+        )
