@@ -1,0 +1,100 @@
+"""Microbenchmark of the whole-backbone megakernel variants, standalone.
+
+Times fused_backbone_decode (ops/fused_backbone.py) at the shipped geometry
+(E=1024, H=16, L=6) with the output fed back as the next input inside a
+fori_loop, so per-call dispatch overhead amortizes and only the kernel's own
+throughput is measured. Used to attribute the backbone marginal cost to
+phases (attn_mode="skip" removes the attention inner loop entirely).
+
+Usage: python benchmarks/kernel_micro.py [--capacity 1024] [--iters 64]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from pathlib import Path
+
+os.environ.setdefault("POCKET_TTS_OFFLINE", "1")
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--capacity", type=int, default=1024)
+    ap.add_argument("--iters", type=int, default=64)
+    ap.add_argument("--repeats", type=int, default=7)
+    args = ap.parse_args()
+
+    from pocket_tts_tpu.models.tts_model import enable_compilation_cache
+    from pocket_tts_tpu.models.weights import quantize_int8
+    from pocket_tts_tpu.ops.fused_backbone import fused_backbone_decode, pack_backbone_int8
+    from pocket_tts_tpu.ops.rope import rope_angles
+    from pocket_tts_tpu.ops.transformer import StreamingTransformer
+
+    enable_compilation_cache()
+    E, H, L, C = 1024, 16, 6, args.capacity
+    t = StreamingTransformer(
+        d_model=E, num_heads=H, num_layers=L, dim_feedforward=4 * E, kind="flow_lm"
+    )
+    params = t.init_params(jax.random.PRNGKey(0))
+    q = quantize_int8({"flow_lm": {"transformer": params}}, subtrees=("transformer",))
+    packed = pack_backbone_int8(q["flow_lm"]["transformer"]["layers"])
+
+    ks = tuple(
+        jax.device_put(
+            jax.random.normal(jax.random.PRNGKey(10 + i), (1, H, C, 64)).astype(jnp.bfloat16)
+        )
+        for i in range(L)
+    )
+    vs = tuple(
+        jax.device_put(
+            jax.random.normal(jax.random.PRNGKey(20 + i), (1, H, C, 64)).astype(jnp.bfloat16)
+        )
+        for i in range(L)
+    )
+    slot_pos = jnp.arange(C, dtype=jnp.int32)[None, :]
+    qpos = jnp.array([C - 1], jnp.int32)
+    cos, sin = rope_angles(jnp.full((1, 1), C - 1, jnp.int32), E // H)
+    cos, sin = cos[0, 0, 0], sin[0, 0, 0]
+    x0 = jax.random.normal(jax.random.PRNGKey(3), (1, E), jnp.float32) * 0.3
+
+    def make(int8_act, attn_mode):
+        def body(_, x):
+            y, _, _ = fused_backbone_decode(
+                packed, x, ks, vs, slot_pos, qpos, cos, sin,
+                num_heads=H, int8_act=int8_act, attn_mode=attn_mode,
+            )
+            return jnp.tanh(y)  # bounded feedback keeps values sane
+
+        return jax.jit(lambda x: jax.lax.fori_loop(0, args.iters, body, x))
+
+    for int8_act, attn_mode in [
+        (False, "mxu"),
+        (True, "mxu"),
+        (False, "vpu"),
+        (True, "vpu"),
+        (True, "skip"),
+    ]:
+        f = make(int8_act, attn_mode)
+        f(x0).block_until_ready()  # compile
+        best = min(
+            _timed(f, x0) for _ in range(args.repeats)
+        )
+        us = best * 1e6 / args.iters
+        print(f"int8_act={int(int8_act)} attn={attn_mode:4s}: {us:8.1f} us/step", flush=True)
+
+
+def _timed(f, x0) -> float:
+    t0 = time.monotonic()
+    f(x0).block_until_ready()
+    return time.monotonic() - t0
+
+
+if __name__ == "__main__":
+    main()

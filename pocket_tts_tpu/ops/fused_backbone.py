@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -67,11 +68,28 @@ def fused_backbone_enabled() -> bool:
 def fused_int8_act_enabled() -> bool:
     """int8 activation quantization inside the megakernel: activations are
     dynamically quantized per matmul (symmetric, per-step scale) so the MXU
-    runs int8 x int8 -> int32 at twice the bf16 rate with NO int8->bf16
-    weight upcast on the VPU. Costs ~0.4% relative error per projection
-    (see tests/test_fused_backbone.py int8-act tolerances).
-    POCKET_TTS_FUSED_INT8_ACT=0 opts out."""
-    return env_flag("POCKET_TTS_FUSED_INT8_ACT", True)
+    runs int8 x int8 -> int32 with no int8->bf16 weight upcast on the VPU.
+
+    DEFAULT OFF — a measured negative result (benchmarks/kernel_micro.py,
+    r3): per-step kernel time is unchanged (752 -> 753 us at C=1024; the
+    matmul phases are DMA-bound, not MXU-bound), while the dynamic
+    activation rounding costs ~1% relative error per step. Kept opt-in
+    (POCKET_TTS_FUSED_INT8_ACT=1) with parity pinned by
+    tests/test_fused_backbone.py."""
+    return env_flag("POCKET_TTS_FUSED_INT8_ACT", False)
+
+
+def fused_attn_mode() -> str:
+    """Attention inner-product engine for the megakernel, default "vpu":
+    the per-head score/PV products are [C, d] x [d] matvecs — too thin for
+    the MXU (M=1 pads to 128 rows), and 2 tiny MXU ops x 16 heads x 6
+    layers of fixed issue latency dominated the attention phase. The VPU
+    elementwise-multiply + reduce form is bitwise-identical (f32 multiply
+    of cache-dtype values is exact) and measured ~70 us/step faster
+    (benchmarks/kernel_micro.py: 752 -> 684 us at C=1024).
+    POCKET_TTS_FUSED_ATTN=mxu selects the old form."""
+    v = (os.environ.get("POCKET_TTS_FUSED_ATTN", "vpu") or "vpu").strip().lower()
+    return v if v in ("vpu", "mxu") else "vpu"
 
 
 def _erf(x: jnp.ndarray) -> jnp.ndarray:
@@ -132,6 +150,7 @@ def _kernel(
     head_dim: int,
     cache_dtype,
     int8_act: bool,
+    attn_mode: str,
 ):
     (k_hbm, v_hbm) = refs[:num_layers], refs[num_layers : 2 * num_layers]
     y_ref, knew_ref, vnew_ref = refs[2 * num_layers : 2 * num_layers + 3]
@@ -222,22 +241,43 @@ def _kernel(
         valid = (sp_ref[0][:, None] >= 0) & (sp_ref[0][:, None] < qp)  # [C, 1]
         scale = 1.0 / math.sqrt(d)
         for h in range(H):
-            # Mirror ops/attention._sdpa exactly: q is cast to the cache
-            # dtype BEFORE the score matmul (f32 accumulation), the 1/sqrt(d)
-            # scale applies to the f32 scores, and the softmax weights are
-            # rounded to the cache dtype for the PV matmul. The current
-            # frame's (k, v) take the same roundings they would have had as
-            # appended cache entries.
-            q_h = q16[h, :][:, None].astype(cache_dtype)  # [d, 1]
+            # Numerics mirror ops/attention._sdpa exactly: q is cast to the
+            # cache dtype BEFORE the score product (f32 accumulation), the
+            # 1/sqrt(d) scale applies to the f32 scores, and the softmax
+            # weights are rounded to the cache dtype for the PV product. The
+            # current frame's (k, v) take the same roundings they would have
+            # had as appended cache entries.
+            q_h = q16[h, :].astype(cache_dtype)  # [d]
             k_h = kv_k[h]  # [C, d] cache dtype
             v_h = kv_v[h]
-            scores = (
-                jax.lax.dot_general(
-                    k_h, q_h, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                * scale
-            )  # [C, 1]
+            if attn_mode == "skip":  # kernel-phase profiling only
+                attn16[h, :] = q16[h, :]
+                continue
+            if attn_mode == "vpu":
+                # Elementwise-multiply + reduce on the VPU: a [C, d] x [d]
+                # matvec is too thin to feed the MXU (M=1 pads to 128 rows),
+                # and 2 tiny MXU ops x 16 heads x 6 layers of fixed latency
+                # dominate the phase. f32 multiply of cache-dtype values is
+                # exact, so parity with the MXU form is bitwise-tight.
+                scores = (
+                    jnp.sum(
+                        k_h.astype(jnp.float32) * q_h.astype(jnp.float32)[None, :],
+                        axis=1,
+                        keepdims=True,
+                    )
+                    * scale
+                )  # [C, 1]
+            else:
+                # [:, None] BEFORE the cast: Mosaic only supports minor-dim
+                # insertion as a no-op for 32-bit types.
+                scores = (
+                    jax.lax.dot_general(
+                        k_h, q16[h, :][:, None].astype(cache_dtype),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    * scale
+                )  # [C, 1]
             scores = jnp.where(valid, scores, _NEG_INF)
             s_self = (
                 jnp.sum(
@@ -251,9 +291,14 @@ def _kernel(
             e_self = jnp.exp(s_self - m)
             denom = jnp.sum(e) + e_self
             w = (e / denom).astype(cache_dtype)
-            out = jax.lax.dot_general(
-                w, v_h, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-            )  # [1, d]
+            if attn_mode == "vpu":
+                out = jnp.sum(
+                    w.astype(jnp.float32) * v_h.astype(jnp.float32), axis=0
+                )[None, :]  # [1, d]
+            else:
+                out = jax.lax.dot_general(
+                    w, v_h, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                )  # [1, d]
             w_self = (e_self / denom).astype(cache_dtype).astype(jnp.float32)
             v_self = v16[h, :].astype(cache_dtype).astype(jnp.float32)
             attn16[h, :] = out[0] + w_self * v_self
@@ -384,7 +429,7 @@ def pack_backbone_int8(layers_params) -> dict:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "interpret", "int8_act")
+    jax.jit, static_argnames=("num_heads", "interpret", "int8_act", "attn_mode")
 )
 def fused_backbone_decode(
     packed: dict,
@@ -398,6 +443,7 @@ def fused_backbone_decode(
     num_heads: int = 16,
     interpret: bool = False,
     int8_act: bool = False,
+    attn_mode: str = "mxu",  # "mxu" | "vpu" | "skip" (profiling only)
 ):
     """Run the full backbone decode step -> (y [1, E] f32,
     k_new [L, H, d], v_new [L, H, d] in cache dtype).
@@ -426,6 +472,7 @@ def fused_backbone_decode(
         head_dim=d,
         cache_dtype=cache_dtype,
         int8_act=int8_act,
+        attn_mode=attn_mode,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

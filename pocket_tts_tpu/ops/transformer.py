@@ -241,6 +241,7 @@ class StreamingTransformer:
         from jax import lax
 
         from pocket_tts_tpu.ops.fused_backbone import (
+            fused_attn_mode,
             fused_backbone_decode,
             fused_int8_act_enabled,
         )
@@ -258,6 +259,7 @@ class StreamingTransformer:
             sin[0, 0, 0],
             num_heads=self.num_heads,
             int8_act=fused_int8_act_enabled(),
+            attn_mode=fused_attn_mode(),
         )
         new_layers = []
         for i, l in enumerate(layers):

@@ -117,6 +117,7 @@ class TTSEngine:
         emit_pcm16: bool = False,
         record_frame_times: bool = False,
         max_capacity: Optional[int] = None,
+        first_segment_frames: int = 2,
     ):
         self.model = model
         self.num_slots = slots
@@ -172,17 +173,31 @@ class TTSEngine:
         self._next_id = 0
         self._lock = threading.Lock()
 
-        self._segment = jax.jit(
-            make_segment_fn(
-                flow_lm, mimi, model.lsd_decode_steps, model.noise_clamp, segment_frames,
-                unroll=2 if segment_frames >= 8 else 1,
-                # On-device float32 -> int16 conversion inside the segment
-                # program halves the device->host audio bytes per tick (the
-                # server writes PCM16 anyway) at zero extra dispatches.
-                emit_pcm16=emit_pcm16,
-            ),
-            donate_argnums=(1, 2, 3),
+        def build_segment(frames: int):
+            return jax.jit(
+                make_segment_fn(
+                    flow_lm, mimi, model.lsd_decode_steps, model.noise_clamp, frames,
+                    unroll=2 if frames >= 8 else 1,
+                    # On-device float32 -> int16 conversion inside the segment
+                    # program halves the device->host audio bytes per tick (the
+                    # server writes PCM16 anyway) at zero extra dispatches.
+                    emit_pcm16=emit_pcm16,
+                ),
+                donate_argnums=(1, 2, 3),
+            )
+
+        self._segment = build_segment(segment_frames)
+        # Short segment for the tick right after an admission: newly admitted
+        # streams reach their first frame after `first_segment_frames` of
+        # decode instead of a full segment — the dominant term of TTFA under
+        # load. One extra compiled program; all slots advance together.
+        self.first_segment_frames = max(1, min(first_segment_frames, segment_frames))
+        self._segment_short = (
+            build_segment(self.first_segment_frames)
+            if self.first_segment_frames < segment_frames
+            else self._segment
         )
+        self._just_admitted = False
         # No donation on prefill: state leaves may alias (e.g. the
         # batch-common widx scalar is shared across layers after admission),
         # and XLA rejects donating one buffer twice.
@@ -577,6 +592,7 @@ class TTSEngine:
         admitted = self._admit_group(to_admit)
         self._maybe_compact()
         self._prefill_admitted(admitted)
+        self._just_admitted = True  # next tick runs the short segment (TTFA)
         return True
 
     def _retire_epoch(self, epoch: int) -> None:
@@ -599,6 +615,14 @@ class TTSEngine:
 
         self._rng, rng = _split_key_cpu(self._rng)
         rng = np.asarray(rng)
+        # Short tick right after an admission: newly admitted streams get
+        # their first frames after first_segment_frames instead of a full
+        # segment (TTFA under load).
+        if self._just_admitted:
+            seg_fn, frames = self._segment_short, self.first_segment_frames
+            self._just_admitted = False
+        else:
+            seg_fn, frames = self._segment, self.segment_frames
         (
             self.flow_state,
             self.mimi_state,
@@ -606,7 +630,7 @@ class TTSEngine:
             audio,
             emit,
             _,
-        ) = self._segment(
+        ) = seg_fn(
             self.model.params,
             self.flow_state,
             self.mimi_state,
@@ -615,7 +639,7 @@ class TTSEngine:
             jnp.float32(self.model.temp),
             jnp.float32(self.model.eos_threshold),
         )
-        self._written += self.segment_frames
+        self._written += frames
         # Capture slot ownership at dispatch time: delivery must only touch
         # the (handle, epoch) pairs that were actually decoding in THIS
         # segment (a slot may be retired and re-admitted — even with the same
@@ -623,7 +647,7 @@ class TTSEngine:
         handles = [(s.handle, s.epoch) if s.active else None for s in self._slots]
         for b in range(self.num_slots):
             if handles[b] is not None:
-                self._pos[b] += self.segment_frames
+                self._pos[b] += frames
 
         # Snapshot the carry fields needed for delivery into fresh buffers:
         # the NEXT dispatch donates self.carry, which would delete these.
@@ -662,7 +686,7 @@ class TTSEngine:
                     self.carry = self._silence_lane(self.carry, jnp.int32(b))
                 continue
             now = time.monotonic() if self.record_frame_times else None
-            for s in range(self.segment_frames):
+            for s in range(emit_np.shape[1]):  # short or full segment
                 if emit_np[b, s]:
                     handle._queue.put(audio_np[b, s])
                     if now is not None:

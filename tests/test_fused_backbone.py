@@ -168,3 +168,35 @@ def test_kernel_int8_act_parity(setup):
             np.asarray(ref_state["layers"][i]["k"][0, :, widx, :], np.float32),
             atol=0.12,
         )
+
+
+def test_vpu_attention_bitwise_matches_mxu(setup):
+    """The VPU elementwise-multiply attention form (production default) is
+    bitwise-identical to the per-head MXU form: f32 multiplication of
+    cache-dtype values is exact."""
+    t, qparams, packed, state = setup
+    x = jax.random.normal(jax.random.PRNGKey(7), (1, 1, E), jnp.float32) * 0.5
+    positions = jnp.full((1, 1), 17, jnp.int32)
+
+    from pocket_tts_tpu.ops.rope import rope_angles
+
+    cos, sin = rope_angles(positions, E // H)
+    args = (
+        packed,
+        x[:, 0, :],
+        tuple(l["k"] for l in state["layers"]),
+        tuple(l["v"] for l in state["layers"]),
+        state["layers"][0]["slot_pos"],
+        positions[:, 0],
+        cos[0, 0, 0],
+        sin[0, 0, 0],
+    )
+    y_mxu, k_m, v_m = fused_backbone_decode(
+        *args, num_heads=H, interpret=True, attn_mode="mxu"
+    )
+    y_vpu, k_v, v_v = fused_backbone_decode(
+        *args, num_heads=H, interpret=True, attn_mode="vpu"
+    )
+    np.testing.assert_array_equal(np.asarray(y_mxu), np.asarray(y_vpu))
+    np.testing.assert_array_equal(np.asarray(k_m), np.asarray(k_v))
+    np.testing.assert_array_equal(np.asarray(v_m), np.asarray(v_v))
