@@ -214,6 +214,7 @@ def _dryrun_engine_tick_b6369a24(mesh) -> int:
             frame = h._queue.get()
             assert frame is not None and np.isfinite(frame).all()
             n_frames += 1
-    assert n_frames == 4 * slots, n_frames  # one 4-frame segment per slot
+    # The tick right after an admission runs the short TTFA segment.
+    assert n_frames == engine.first_segment_frames * slots, n_frames
     logger.info("b6369a24 sharded engine tick OK: %d frames", n_frames)
     return n_frames
