@@ -198,19 +198,17 @@ def _kernel(
         for h in range(H):
             dst[h, :] = flat[0, h * d : (h + 1) * d]
 
-    # ---- layer start: snapshot residual stream, kick off this layer's KV
-    # DMA, ln1, q and k projections (+RoPE)
+    # ---- layer start: snapshot residual stream, kick off layer 0's KV DMA
+    # (layers 1.. prefetch from the PREVIOUS layer's phase 3 — the scratch is
+    # only read at phase 2, so the next layer's copy gets ~5 phases of lead
+    # instead of 2), ln1, q and k projections (+RoPE)
     @pl.when(p == 0)
     def _():
         @pl.when(l == 0)
         def _():
             x_s[:, :] = x_ref[:, :]
-
-        for i in range(num_layers):
-            @pl.when(l == i)
-            def _():
-                pltpu.make_async_copy(k_hbm[i], kv_k, sem_k).start()
-                pltpu.make_async_copy(v_hbm[i], kv_v, sem_v).start()
+            pltpu.make_async_copy(k_hbm[0], kv_k, sem_k).start()
+            pltpu.make_async_copy(v_hbm[0], kv_v, sem_v).start()
 
         lnx_s[:, :] = _layer_norm_f32(x_s[:, :], ln_ref[0, 0][None, :], ln_ref[0, 1][None, :])
         split_heads(rope(matmul_chunk(lnx_s[:, :], 0, _SQ)), q16)
@@ -312,6 +310,16 @@ def _kernel(
         acc = matmul_chunk(yacc_s[:, :], 1, _SOUT)
         x_s[0, :] = x_s[0, :] + acc[0]
         lnx_s[:, :] = _layer_norm_f32(x_s[:, :], ln_ref[0, 2][None, :], ln_ref[0, 3][None, :])
+
+    # ---- prefetch the NEXT layer's KV right after this layer's attention
+    # consumed the scratch (kv_k/kv_v are only read at phase 2)
+    @pl.when(p == 3)
+    def _():
+        for i in range(num_layers - 1):
+            @pl.when(l == i)
+            def _(i=i):
+                pltpu.make_async_copy(k_hbm[i + 1], kv_k, sem_k).start()
+                pltpu.make_async_copy(v_hbm[i + 1], kv_v, sem_v).start()
 
     # ---- FF: ff1 column chunks (GELU applied per chunk), ff2 accumulation
     for pp in range(2):

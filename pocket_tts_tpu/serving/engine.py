@@ -732,10 +732,18 @@ class TTSEngine:
         while True:
             fully_idle = in_flight is None and not any(s.active for s in self._slots)
             self._admit_pending(block_seconds=0.05 if fully_idle else 0.0)
+            short_tick = self._just_admitted  # consumed by _dispatch_segment
             any_active = any(s.active for s in self._slots)
             dispatched = self._dispatch_segment() if any_active else None
             if in_flight is not None:
                 self._deliver(in_flight)
+            if dispatched is not None and short_tick:
+                # The tick right after an admission carries newly admitted
+                # streams' FIRST frames: deliver it now instead of letting it
+                # lag one pipelined tick — one blocking fetch shaves a full
+                # tick off TTFA under load, at a one-tick pipelining pause.
+                self._deliver(dispatched)
+                dispatched = None
             in_flight = dispatched
             if not any_active and in_flight is None and self._pending.empty():
                 idle_ticks += 1
