@@ -98,6 +98,21 @@ def bench_single_stream(model, voice, runs: int = 5) -> dict:
     }
 
 
+def bench_streaming(model, voice, runs: int = 5) -> dict:
+    """Single-stream STREAMING mode (frame-by-frame yields, doubling
+    dispatch schedule) — must stay close to bulk mode's RTF (VERDICT r2
+    item 8: within ~25%)."""
+    _ = list(model.generate_audio_stream(voice, TEXT, frames_after_eos=2))  # warm
+    walls, audio_sec = [], 0.0
+    for _ in range(runs):
+        t0 = time.monotonic()
+        frames = list(model.generate_audio_stream(voice, TEXT, frames_after_eos=2))
+        walls.append(time.monotonic() - t0)
+        audio_sec = sum(f.shape[0] for f in frames) / SAMPLE_RATE
+    walls.sort()
+    return {"rtf": audio_sec / walls[len(walls) // 2], "rtf_best": audio_sec / walls[0]}
+
+
 def bench_ttfa(model, voice, runs: int = 5) -> dict:
     # jit caches are warm after bench_single_stream; measure time to first frame.
     ttfas = []
@@ -231,6 +246,7 @@ def main() -> None:
     voice = _make_voice(model)
 
     single = bench_single_stream(model, voice)
+    streaming = bench_streaming(model, voice)
     ttfa = bench_ttfa(model, voice)
 
     if BATCH_DTYPE != SINGLE_DTYPE:
@@ -266,6 +282,8 @@ def main() -> None:
             ),
             "single_audio_sec": round(single["audio_sec"], 2),
             "single_stream_rtf_best": round(single["rtf_best"], 2),
+            "streaming_rtf": round(streaming["rtf"], 2),
+            "streaming_rtf_best": round(streaming["rtf_best"], 2),
             "targets": {"single_stream_rtf": 30.0, "streams": 64, "ttfa_p50_ms": 250.0},
         },
     }

@@ -935,6 +935,12 @@ class TTSModel:
         # tight (~2 s of padding), so skipping the per-segment early-stop
         # round-trips costs a little masked compute and saves one host sync
         # per segment.
+        #
+        # Streaming starts at 2 (protects time-to-first-audio: only three
+        # ~2 ms dispatches precede the first fetch) and doubles after every
+        # fetch — within a few yields the whole remaining schedule is in
+        # flight, so long utterances converge to bulk's wall clock while the
+        # early segments still early-stop on EOS.
         lookahead = 10**9 if bulk else 2
         sched = schedule_iter()
         in_flight: list = []
@@ -974,6 +980,7 @@ class TTSModel:
                 audio_np, emit_np, done = jax.device_get((audio, emit, all_done))
                 fetched = [(audio_np, emit_np)]
                 segs = [seg]
+                lookahead = min(lookahead * 2, 10**9)
             for seg, (audio_np, emit_np) in zip(segs, fetched):
                 if audio_np.dtype == np.int16:  # transfer_pcm16: widen on host
                     audio_np = audio_np.astype(np.float32) / 32767.0
