@@ -976,10 +976,24 @@ class TTSModel:
                 in_flight = []
                 done = True
             else:
-                seg, audio, emit, all_done = in_flight.pop(0)
-                audio_np, emit_np, done = jax.device_get((audio, emit, all_done))
-                fetched = [(audio_np, emit_np)]
-                segs = [seg]
+                # Block only for the oldest segment, but drain every further
+                # in-flight segment that has ALREADY finished in the same
+                # device_get: the relay round-trip dominates small fetches,
+                # so once compute runs ahead of the host, fetching ready
+                # segments one at a time pays one RTT each for data that is
+                # already on its way (copy_to_host_async above). Never block
+                # on a still-running segment — that would collapse streaming
+                # into bulk and destroy per-chunk latency.
+                take = 1
+                while take < len(in_flight) and all(
+                    x.is_ready() for x in in_flight[take][1:]
+                ):
+                    take += 1
+                batch, in_flight = in_flight[:take], in_flight[take:]
+                got = jax.device_get([(a, e, d) for _, a, e, d in batch])
+                fetched = [(a, e) for a, e, _ in got]
+                segs = [s for s, *_ in batch]
+                done = got[-1][2]
                 lookahead = min(lookahead * 2, 10**9)
             for seg, (audio_np, emit_np) in zip(segs, fetched):
                 if audio_np.dtype == np.int16:  # transfer_pcm16: widen on host
