@@ -64,30 +64,35 @@ def main() -> None:
     cos, sin = cos[0, 0, 0], sin[0, 0, 0]
     x0 = jax.random.normal(jax.random.PRNGKey(3), (1, E), jnp.float32) * 0.3
 
-    def make(int8_act, attn_mode):
+    def make(int8_act, attn_mode, block):
         def body(_, x):
             y, _, _ = fused_backbone_decode(
                 packed, x, ks, vs, slot_pos, qpos, cos, sin,
-                num_heads=H, int8_act=int8_act, attn_mode=attn_mode,
+                num_heads=H, int8_act=int8_act, attn_mode=attn_mode, block=block,
             )
             return jnp.tanh(y)  # bounded feedback keeps values sane
 
         return jax.jit(lambda x: jax.lax.fori_loop(0, args.iters, body, x))
 
-    for int8_act, attn_mode in [
-        (False, "mxu"),
-        (True, "mxu"),
-        (False, "vpu"),
-        (True, "vpu"),
-        (True, "skip"),
+    for int8_act, attn_mode, block in [
+        (False, "mxu", "pair"),
+        (False, "vpu", "pair"),
+        (False, "vpu", "quad"),
+        (False, "hbatch", "pair"),
+        (True, "skip", "pair"),
+        (True, "skip", "quad"),
     ]:
-        f = make(int8_act, attn_mode)
+        f = make(int8_act, attn_mode, block)
         f(x0).block_until_ready()  # compile
         best = min(
             _timed(f, x0) for _ in range(args.repeats)
         )
         us = best * 1e6 / args.iters
-        print(f"int8_act={int(int8_act)} attn={attn_mode:4s}: {us:8.1f} us/step", flush=True)
+        print(
+            f"int8_act={int(int8_act)} attn={attn_mode:6s} block={block:4s}: "
+            f"{us:8.1f} us/step",
+            flush=True,
+        )
 
 
 def _timed(f, x0) -> float:

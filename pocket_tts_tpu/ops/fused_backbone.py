@@ -87,9 +87,25 @@ def fused_attn_mode() -> str:
     elementwise-multiply + reduce form is bitwise-identical (f32 multiply
     of cache-dtype values is exact) and measured ~70 us/step faster
     (benchmarks/kernel_micro.py: 752 -> 684 us at C=1024).
-    POCKET_TTS_FUSED_ATTN=mxu selects the old form."""
+    POCKET_TTS_FUSED_ATTN=mxu selects the old form; =hbatch selects an
+    all-heads-at-once [H, C] softmax form (bitwise-equal in interpret mode)
+    — measured a WASH standalone at C=512 (kernel_micro 625 vpu vs 680
+    hbatch; attention is only ~18 us of the step there) and it OOMs scoped
+    VMEM past C=512 (f32 [H, C, d] temporaries), so the dispatcher demotes
+    it to "vpu" for larger buckets. Kept as a measured negative result."""
     v = (os.environ.get("POCKET_TTS_FUSED_ATTN", "vpu") or "vpu").strip().lower()
-    return v if v in ("vpu", "mxu") else "vpu"
+    return v if v in ("vpu", "mxu", "hbatch") else "vpu"
+
+
+def fused_block_mode() -> str:
+    """Weight-streaming block size for the megakernel: "pair" (2 MiB blocks,
+    7 phases/layer, 42 grid steps) or "quad" (4 MiB blocks, 4 phases/layer,
+    24 grid steps — same bytes in fewer, larger DMAs, less per-grid-step
+    overhead). POCKET_TTS_FUSED_BLOCK selects; the dispatcher demotes quad
+    to pair when the KV scratch would not leave room for the doubled weight
+    double-buffer (see transformer._fused_decode)."""
+    v = (os.environ.get("POCKET_TTS_FUSED_BLOCK", "pair") or "pair").strip().lower()
+    return v if v in ("pair", "quad") else "pair"
 
 
 def _erf(x: jnp.ndarray) -> jnp.ndarray:
@@ -111,8 +127,10 @@ def _layer_norm_f32(x, w, b, eps=1e-5):
 
 
 # Phase layout per layer. Weight chunks are [E, E] int8 stored TRANSPOSED
-# [in, out]; the grid streams them as PAIRS (a [1, 2, E, E] = 2 MiB block per
-# step) to halve the per-grid-step overhead vs one chunk per step:
+# [in, out]; the grid streams them as blocks of 2 ("pair", 2 MiB/step) or of
+# 4 ("quad", 4 MiB/step — half the grid steps, 24 vs 42, for the same bytes).
+#
+# pair (7 phases/layer):
 #   p=0 : pair 0 = (q, k)        -> ln1, q/k projections + RoPE
 #   p=1 : pair 1 = (v, out_proj) -> v projection
 #   p=2 : pair 1 resident (no DMA) -> attention, out-projection, residual, ln2
@@ -120,7 +138,14 @@ def _layer_norm_f32(x, w, b, eps=1e-5):
 #   p=4 : pair 3 = (ff1c, ff1d)  -> second half
 #   p=5 : pair 4 = (ff2a, ff2b)  -> FF output accumulation
 #   p=6 : pair 5 = (ff2c, ff2d)  -> rest + scale + residual (+ y at last layer)
-_PHASES = 7
+#
+# quad (4 phases/layer):
+#   p=0 : quad 0 = (q, k, v, out) -> ln1, q/k (+RoPE), v projections
+#   p=1 : quad 0 resident          -> attention, out-projection, residual, ln2
+#   p=2 : quad 1 = ff1 a-d         -> full FF hidden (+ next-layer KV prefetch)
+#   p=3 : quad 2 = ff2 a-d         -> FF accumulation + scale + residual (+ y)
+_PAIR_PHASES = 7
+_QUAD_PHASES = 4
 _NCHUNK = 12
 
 # Static scale-row ids (chunk order in pack_backbone_int8)
@@ -131,6 +156,12 @@ def _pair_index(p):
     # p -> pair id in the [6, 6, 2, E, E]-viewed chunk array (block units);
     # phase 2 repeats pair 1, so no fresh DMA happens there.
     return jnp.where(p >= 3, p - 1, jnp.minimum(p, 1))
+
+
+def _quad_index(p):
+    # p -> quad id in the [6, 3, 4, E, E]-viewed chunk array; phase 1
+    # repeats quad 0 (attention + out-proj), so no fresh DMA happens there.
+    return jnp.where(p >= 2, p - 1, 0)
 
 
 def _kernel(
@@ -151,6 +182,7 @@ def _kernel(
     cache_dtype,
     int8_act: bool,
     attn_mode: str,
+    block: str,
 ):
     (k_hbm, v_hbm) = refs[:num_layers], refs[num_layers : 2 * num_layers]
     y_ref, knew_ref, vnew_ref = refs[2 * num_layers : 2 * num_layers + 3]
@@ -198,12 +230,12 @@ def _kernel(
         for h in range(H):
             dst[h, :] = flat[0, h * d : (h + 1) * d]
 
-    # ---- layer start: snapshot residual stream, kick off layer 0's KV DMA
-    # (layers 1.. prefetch from the PREVIOUS layer's phase 3 — the scratch is
-    # only read at phase 2, so the next layer's copy gets ~5 phases of lead
-    # instead of 2), ln1, q and k projections (+RoPE)
-    @pl.when(p == 0)
-    def _():
+    # ---- phase bodies (wired to grid phases per block mode below) --------
+    def body_layer_start():
+        # Snapshot the residual stream, kick off layer 0's KV DMA (layers 1..
+        # prefetch during the PREVIOUS layer's FF phases — the scratch is
+        # only read at the attention phase, so the next layer's copy gets
+        # several phases of lead), then ln1.
         @pl.when(l == 0)
         def _():
             x_s[:, :] = x_ref[:, :]
@@ -211,23 +243,24 @@ def _kernel(
             pltpu.make_async_copy(v_hbm[0], kv_v, sem_v).start()
 
         lnx_s[:, :] = _layer_norm_f32(x_s[:, :], ln_ref[0, 0][None, :], ln_ref[0, 1][None, :])
-        split_heads(rope(matmul_chunk(lnx_s[:, :], 0, _SQ)), q16)
-        k_rot = rope(matmul_chunk(lnx_s[:, :], 1, _SK))
+
+    def body_qk(jq, jk):
+        split_heads(rope(matmul_chunk(lnx_s[:, :], jq, _SQ)), q16)
+        k_rot = rope(matmul_chunk(lnx_s[:, :], jk, _SK))
         split_heads(k_rot, k16)
         for h in range(H):
             knew_ref[0, h, :] = k16[h, :].astype(knew_ref.dtype)
 
-    @pl.when(p == 1)
-    def _():
-        v = matmul_chunk(lnx_s[:, :], 0, _SV)
+    def body_v(jv):
+        v = matmul_chunk(lnx_s[:, :], jv, _SV)
         split_heads(v, v16)
         for h in range(H):
             vnew_ref[0, h, :] = v16[h, :].astype(vnew_ref.dtype)
 
     # ---- attention over the DMA'd cache + the current frame's (k, v), then
-    # the out-projection (chunk 1 of the still-resident pair) + residual + ln2
-    @pl.when(p == 2)
-    def _():
+    # the out-projection (chunk jo of the still-resident block) + residual
+    # + ln2
+    def body_attn_out(jo):
         pltpu.make_async_copy(k_hbm[0], kv_k, sem_k).wait()
         pltpu.make_async_copy(v_hbm[0], kv_v, sem_v).wait()
         qp = qpos_ref[0]
@@ -238,7 +271,34 @@ def _kernel(
         # this is equivalent to <= today.
         valid = (sp_ref[0][:, None] >= 0) & (sp_ref[0][:, None] < qp)  # [C, 1]
         scale = 1.0 / math.sqrt(d)
-        for h in range(H):
+        if attn_mode == "hbatch":
+            # ALL heads in one shot, softmax over the LANE dimension. The
+            # per-head forms below produce [C, 1] scores — C lands in
+            # sublanes, so every transcendental/select runs one lane wide
+            # (1/128th utilization) and the 16-head python loop replays it
+            # all. Here scores are [H, C] (C in lanes): one fully packed
+            # exp/max/sum for the whole layer. Numerics keep the oracle's
+            # roundings (q and softmax weights round-trip through the cache
+            # dtype; all products accumulate in f32).
+            qc = q16[:, :].astype(cache_dtype).astype(jnp.float32)  # [H, d]
+            kf = kv_k[:, :, :].astype(jnp.float32)  # [H, C, d]
+            scores = jnp.sum(kf * qc[:, None, :], axis=2) * scale  # [H, C]
+            vrow = (sp_ref[0] >= 0) & (sp_ref[0] < qp)  # [C]
+            scores = jnp.where(vrow[None, :], scores, _NEG_INF)
+            kc = k16[:, :].astype(cache_dtype).astype(jnp.float32)
+            s_self = jnp.sum(qc * kc, axis=1, keepdims=True) * scale  # [H, 1]
+            m = jnp.maximum(jnp.max(scores, axis=1, keepdims=True), s_self)
+            e = jnp.exp(scores - m)  # [H, C]
+            e_self = jnp.exp(s_self - m)  # [H, 1]
+            denom = jnp.sum(e, axis=1, keepdims=True) + e_self  # [H, 1]
+            w = (e / denom).astype(cache_dtype).astype(jnp.float32)  # [H, C]
+            out = jnp.sum(
+                w[:, :, None] * kv_v[:, :, :].astype(jnp.float32), axis=1
+            )  # [H, d]
+            w_self = (e_self / denom).astype(cache_dtype).astype(jnp.float32)
+            v_self = v16[:, :].astype(cache_dtype).astype(jnp.float32)
+            attn16[:, :] = out + w_self * v_self
+        for h in range(H if attn_mode != "hbatch" else 0):
             # Numerics mirror ops/attention._sdpa exactly: q is cast to the
             # cache dtype BEFORE the score product (f32 accumulation), the
             # 1/sqrt(d) scale applies to the f32 scores, and the softmax
@@ -302,69 +362,62 @@ def _kernel(
             attn16[h, :] = out[0] + w_self * v_self
 
         # out-projection on the flattened head-major attention row. yacc_s is
-        # free at this phase (ff2 overwrites it at phase 5); rows 1..7 hold
+        # free at this phase (ff2 overwrites it later); rows 1..7 hold
         # stale data but matmul output rows are independent and only row 0 is
         # read (matmul_chunk's quant scale also reads row 0 only).
         for h in range(H):
             yacc_s[0, h * d : (h + 1) * d] = attn16[h, :]
-        acc = matmul_chunk(yacc_s[:, :], 1, _SOUT)
+        acc = matmul_chunk(yacc_s[:, :], jo, _SOUT)
         x_s[0, :] = x_s[0, :] + acc[0]
         lnx_s[:, :] = _layer_norm_f32(x_s[:, :], ln_ref[0, 2][None, :], ln_ref[0, 3][None, :])
 
     # ---- prefetch the NEXT layer's KV right after this layer's attention
-    # consumed the scratch (kv_k/kv_v are only read at phase 2)
-    @pl.when(p == 3)
-    def _():
+    # consumed the scratch (kv_k/kv_v are only read at the attention phase)
+    def body_prefetch_next_kv():
         for i in range(num_layers - 1):
             @pl.when(l == i)
             def _(i=i):
                 pltpu.make_async_copy(k_hbm[i + 1], kv_k, sem_k).start()
                 pltpu.make_async_copy(v_hbm[i + 1], kv_v, sem_v).start()
 
-    # ---- FF: ff1 column chunks (GELU applied per chunk), ff2 accumulation
-    for pp in range(2):
-        @pl.when(p == 3 + pp)
-        def _(pp=pp):
-            for j in range(2):
-                c = 2 * pp + j
-                h = matmul_chunk(lnx_s[:, :], j, _SFF1 + c)
-                h = 0.5 * h * (1.0 + _erf(h * 0.7071067811865476))
-                h1_s[:, c * E : (c + 1) * E] = h
+    # ---- FF: ff1 column chunks (GELU applied per chunk), ff2 accumulation.
+    # `pairs` lists (global chunk id c, block-local chunk j) for this phase.
+    def body_ff1(pairs):
+        for c, j in pairs:
+            hcol = matmul_chunk(lnx_s[:, :], j, _SFF1 + c)
+            hcol = 0.5 * hcol * (1.0 + _erf(hcol * 0.7071067811865476))
+            h1_s[:, c * E : (c + 1) * E] = hcol
 
-    for pp in range(2):
-        @pl.when(p == 5 + pp)
-        def _(pp=pp):
-            for j in range(2):
-                c = 2 * pp + j
-                hseg = h1_s[:, c * E : (c + 1) * E]
-                if int8_act:
-                    # Per-chunk activation scale (the chunks split the
-                    # contraction, so each partial product carries its own
-                    # s_x before accumulation; the per-output weight scale
-                    # applies once at the end).
-                    amax = jnp.max(jnp.abs(hseg[0:1, :]))
-                    s_x = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
-                    hq = jnp.clip(
-                        jnp.round(hseg * (1.0 / s_x)), -127, 127
-                    ).astype(jnp.int8)
-                    part = (
-                        jnp.dot(hq, w_ref[0, j], preferred_element_type=jnp.int32)
-                        .astype(jnp.float32)
-                        * s_x
-                    )
-                else:
-                    part = jnp.dot(
-                        hseg.astype(jnp.bfloat16),
-                        w_ref[0, j].astype(jnp.bfloat16),
-                        preferred_element_type=jnp.float32,
-                    )
-                if c == 0:
-                    yacc_s[:, :] = part
-                else:
-                    yacc_s[:, :] = yacc_s[:, :] + part
+    def body_ff2(pairs):
+        for c, j in pairs:
+            hseg = h1_s[:, c * E : (c + 1) * E]
+            if int8_act:
+                # Per-chunk activation scale (the chunks split the
+                # contraction, so each partial product carries its own
+                # s_x before accumulation; the per-output weight scale
+                # applies once at the end).
+                amax = jnp.max(jnp.abs(hseg[0:1, :]))
+                s_x = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+                hq = jnp.clip(
+                    jnp.round(hseg * (1.0 / s_x)), -127, 127
+                ).astype(jnp.int8)
+                part = (
+                    jnp.dot(hq, w_ref[0, j], preferred_element_type=jnp.int32)
+                    .astype(jnp.float32)
+                    * s_x
+                )
+            else:
+                part = jnp.dot(
+                    hseg.astype(jnp.bfloat16),
+                    w_ref[0, j].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+            if c == 0:
+                yacc_s[:, :] = part
+            else:
+                yacc_s[:, :] = yacc_s[:, :] + part
 
-    @pl.when(p == _PHASES - 1)
-    def _():
+    def body_tail():
         # ff2's per-output scale applies once to the full accumulation (the
         # four chunks split the contraction, not the outputs).
         x_s[0, :] = x_s[0, :] + yacc_s[0, :] * s_ref[0, _SFF2, :]
@@ -372,6 +425,59 @@ def _kernel(
         @pl.when(l == num_layers - 1)
         def _():
             y_ref[:, :] = x_s[:, :]
+
+    # ---- wire the bodies to grid phases for the selected block size
+    if block == "pair":
+        @pl.when(p == 0)
+        def _():
+            body_layer_start()
+            body_qk(0, 1)
+
+        @pl.when(p == 1)
+        def _():
+            body_v(0)
+
+        @pl.when(p == 2)
+        def _():
+            body_attn_out(1)
+
+        @pl.when(p == 3)
+        def _():
+            body_prefetch_next_kv()
+            body_ff1([(0, 0), (1, 1)])
+
+        @pl.when(p == 4)
+        def _():
+            body_ff1([(2, 0), (3, 1)])
+
+        @pl.when(p == 5)
+        def _():
+            body_ff2([(0, 0), (1, 1)])
+
+        @pl.when(p == 6)
+        def _():
+            body_ff2([(2, 0), (3, 1)])
+            body_tail()
+    else:  # quad: 4 phases/layer, 4 MiB blocks, 24 grid steps total
+        @pl.when(p == 0)
+        def _():
+            body_layer_start()
+            body_qk(0, 1)
+            body_v(2)
+
+        @pl.when(p == 1)
+        def _():
+            body_attn_out(3)
+
+        @pl.when(p == 2)
+        def _():
+            body_prefetch_next_kv()
+            body_ff1([(0, 0), (1, 1), (2, 2), (3, 3)])
+
+        @pl.when(p == 3)
+        def _():
+            body_ff2([(0, 0), (1, 1), (2, 2), (3, 3)])
+            body_tail()
 
 
 def pack_backbone_int8(layers_params) -> dict:
@@ -437,7 +543,8 @@ def pack_backbone_int8(layers_params) -> dict:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "interpret", "int8_act", "attn_mode")
+    jax.jit,
+    static_argnames=("num_heads", "interpret", "int8_act", "attn_mode", "block"),
 )
 def fused_backbone_decode(
     packed: dict,
@@ -451,7 +558,8 @@ def fused_backbone_decode(
     num_heads: int = 16,
     interpret: bool = False,
     int8_act: bool = False,
-    attn_mode: str = "mxu",  # "mxu" | "vpu" | "skip" (profiling only)
+    attn_mode: str = "mxu",  # "mxu" | "vpu" | "hbatch" | "skip" (profiling)
+    block: str = "pair",  # "pair" (2 MiB blocks) | "quad" (4 MiB blocks)
 ):
     """Run the full backbone decode step -> (y [1, E] f32,
     k_new [L, H, d], v_new [L, H, d] in cache dtype).
@@ -481,14 +589,17 @@ def fused_backbone_decode(
         cache_dtype=cache_dtype,
         int8_act=int8_act,
         attn_mode=attn_mode,
+        block=block,
     )
 
+    nblk = 2 if block == "pair" else 4
+    blk_index = _pair_index if block == "pair" else _quad_index
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(L, _PHASES),
+        grid=(L, _PAIR_PHASES if block == "pair" else _QUAD_PHASES),
         in_specs=[
             pl.BlockSpec((8, E), lambda l, p, _qp: (0, 0)),  # x
-            pl.BlockSpec((1, 2, E, E), lambda l, p, _qp: (l, _pair_index(p), 0, 0)),
+            pl.BlockSpec((1, nblk, E, E), lambda l, p, _qp: (l, blk_index(p), 0, 0)),
             pl.BlockSpec((1, _NCHUNK, E), lambda l, p, _qp: (l, 0, 0)),
             pl.BlockSpec((1, 4, E), lambda l, p, _qp: (l, 0, 0)),  # ln
             pl.BlockSpec((1, E), lambda l, p, _qp: (0, 0)),  # cf

@@ -243,11 +243,24 @@ class StreamingTransformer:
         from pocket_tts_tpu.ops.fused_backbone import (
             fused_attn_mode,
             fused_backbone_decode,
+            fused_block_mode,
             fused_int8_act_enabled,
         )
 
         cos, sin = rope_cache  # [1, 1, 1, d/2]
         layers = state["layers"]
+        attn_mode = fused_attn_mode()
+        if attn_mode == "hbatch" and layers[0]["k"].shape[2] > 512:
+            # hbatch materializes f32 [H, C, d] temporaries (~4 MiB each at
+            # C=1024) and blows the 16 MiB scoped-VMEM limit past C=512.
+            attn_mode = "vpu"
+        block = fused_block_mode()
+        k0 = layers[0]["k"]
+        kv_bytes = 2 * k0.shape[1] * k0.shape[2] * k0.shape[3] * k0.dtype.itemsize
+        if block == "quad" and kv_bytes > 4 * 1024 * 1024:
+            # quad doubles the weight double-buffer (4 -> 8 MiB); past
+            # ~4 MiB of KV scratch the 16 MiB scoped-VMEM limit is at risk.
+            block = "pair"
         y, k_new, v_new = fused_backbone_decode(
             params["fused"],
             x[:, 0, :],
@@ -259,7 +272,8 @@ class StreamingTransformer:
             sin[0, 0, 0],
             num_heads=self.num_heads,
             int8_act=fused_int8_act_enabled(),
-            attn_mode=fused_attn_mode(),
+            attn_mode=attn_mode,
+            block=block,
         )
         new_layers = []
         for i, l in enumerate(layers):

@@ -290,67 +290,67 @@ class TTSEngine:
     # ------------------------------------------------------------ admission
 
     def _build_admit_fn(self):
-        """Jitted burst admission: splice K voice rows in ONE dispatch.
+        """Jitted burst admission: splice K rows of ONE voice in ONE dispatch.
 
-        Slot indices are traced scalars, so one compiled executable per group
-        size K serves every slot combination; all splices are
-        dynamic_update_slices fused into a single program (per-slot eager
-        .at[b].set updates cost ~15 device round-trips each, and one jitted
-        call per slot still cost a dispatch per request — a cold 64-burst is
-        now 1-2 dispatches instead of 64)."""
+        Slot indices arrive as a [K] numpy array, so one compiled executable
+        per group size K serves every slot combination, and each state leaf
+        is written by a SINGLE scatter (`.at[slots].set`) of the voice row
+        broadcast K ways. The earlier design chained K per-row
+        dynamic_update_slices and passed K separate voice trees + 4K eager
+        device scalars per call — measured 110 ms of host arg marshaling plus
+        ~170 ms of device time for a cold 64-burst (benchmarks/cold_burst.py);
+        the scatter form writes the same rows in one pass of each leaf.
+        Duplicate slot indices (group padding repeats the last item) write
+        identical rows, so the scatter stays deterministic."""
 
-        def splice(batch_leaf, row_leaf, b):
+        def splice(batch_leaf, row_leaf, slots):
             if batch_leaf.ndim == 0:
                 return batch_leaf  # batch-common scalars (widx) handled below
-            start = (b,) + (0,) * (batch_leaf.ndim - 1)
-            return jax.lax.dynamic_update_slice(
-                batch_leaf, row_leaf.astype(batch_leaf.dtype), start
+            rows = jnp.broadcast_to(
+                row_leaf.astype(batch_leaf.dtype),
+                (slots.shape[0],) + row_leaf.shape[1:],
             )
+            return batch_leaf.at[slots].set(rows)
 
-        def admit_fn(flow_state, mimi_state, carry, voice_trees, warm_mimi, bs,
-                     pos0s, faes, max_gens, widx_new):
-            # K is static (the length of the python lists); bs etc. are traced.
-            for voice_tree, b, pos0, fae, max_gen in zip(
-                voice_trees, bs, pos0s, faes, max_gens
-            ):
-                transformer = jax.tree_util.tree_map(
-                    lambda bl, rl: splice(bl, rl, b),
-                    flow_state["transformer"],
-                    voice_tree["transformer"],
-                )
-                transformer["widx"] = flow_state["transformer"]["widx"]
-                flow_state = {
-                    "transformer": transformer,
-                    "pos": jax.lax.dynamic_update_slice(flow_state["pos"], pos0[None], (b,)),
-                }
-                mimi_state = jax.tree_util.tree_map(
-                    lambda bl, rl: splice(bl, rl, b), mimi_state, warm_mimi
-                )
-                upd = lambda a, v: jax.lax.dynamic_update_slice(
-                    a, jnp.asarray([v], a.dtype), (b,)
-                )
-                carry = {
-                    "latent": jax.lax.dynamic_update_slice(
-                        carry["latent"],
-                        jnp.zeros((1, carry["latent"].shape[1]), carry["latent"].dtype),
-                        (b, 0),
-                    ),
-                    "is_bos": jax.lax.dynamic_update_slice(
-                        carry["is_bos"], jnp.ones((1,), jnp.bool_), (b,)
-                    ),
-                    "eos_step": upd(carry["eos_step"], _EOS_NEVER),
-                    "step": upd(carry["step"], 0),
-                    "tick": carry["tick"],
-                    "frames_after_eos": jax.lax.dynamic_update_slice(
-                        carry["frames_after_eos"], fae[None], (b,)
-                    ),
-                    "max_gen": jax.lax.dynamic_update_slice(
-                        carry["max_gen"], max_gen[None], (b,)
-                    ),
-                }
-            transformer = dict(flow_state["transformer"])
-            transformer["widx"] = jnp.maximum(transformer["widx"], widx_new)
-            flow_state = {"transformer": transformer, "pos": flow_state["pos"]}
+        def admit_fn(flow_state, mimi_state, carry, voice_tree, warm_mimi,
+                     slots, pos0s, faes, max_gens, widx_new):
+            transformer = jax.tree_util.tree_map(
+                lambda bl, rl: splice(bl, rl, slots),
+                flow_state["transformer"],
+                voice_tree["transformer"],
+            )
+            transformer["widx"] = jnp.maximum(
+                flow_state["transformer"]["widx"], widx_new
+            )
+            flow_state = {
+                "transformer": transformer,
+                "pos": flow_state["pos"].at[slots].set(pos0s),
+            }
+            mimi_state = jax.tree_util.tree_map(
+                lambda bl, rl: splice(bl, rl, slots), mimi_state, warm_mimi
+            )
+            K = slots.shape[0]
+            carry = {
+                "latent": carry["latent"].at[slots].set(
+                    jnp.zeros((K, carry["latent"].shape[1]), carry["latent"].dtype)
+                ),
+                "is_bos": carry["is_bos"].at[slots].set(
+                    jnp.ones((K,), jnp.bool_)
+                ),
+                "eos_step": carry["eos_step"].at[slots].set(
+                    jnp.full((K,), _EOS_NEVER, carry["eos_step"].dtype)
+                ),
+                "step": carry["step"].at[slots].set(
+                    jnp.zeros((K,), carry["step"].dtype)
+                ),
+                "tick": carry["tick"],
+                "frames_after_eos": carry["frames_after_eos"].at[slots].set(
+                    faes.astype(carry["frames_after_eos"].dtype)
+                ),
+                "max_gen": carry["max_gen"].at[slots].set(
+                    max_gens.astype(carry["max_gen"].dtype)
+                ),
+            }
             return flow_state, mimi_state, carry
 
         return jax.jit(admit_fn, donate_argnums=(0, 1, 2))
@@ -421,19 +421,18 @@ class TTSEngine:
             1, self.capacity, dtype=self.model.state_dtype
         )
         warm = self._warm_mimi()
-        zero = jnp.int32(0)
-        bi = jnp.int32(b)
         for k in self._admit_sizes():
+            zeros = np.zeros((k,), np.int32)
             self.flow_state, self.mimi_state, self.carry = self._admit_jit(
                 self.flow_state,
                 self.mimi_state,
                 self.carry,
-                [dummy_voice] * k,
+                dummy_voice,
                 warm,
-                [bi] * k,
-                [zero] * k,
-                [zero] * k,
-                [zero] * k,  # max_gen = 0 -> the slot stays inactive
+                np.full((k,), b, np.int32),
+                zeros,
+                zeros,
+                zeros,  # max_gen = 0 -> the slot stays inactive
                 jnp.int32(self._written),
             )
 
@@ -448,46 +447,58 @@ class TTSEngine:
         self._warm_mimi()
 
         admitted = []
-        start = 0
-        while start < len(items):
-            orig = items[start : start + self.num_slots]
-            start += len(orig)
-            k = next(s for s in self._admit_sizes() if s >= len(orig))
-            # Pad to the compiled size by repeating the last item; slot
-            # bookkeeping below iterates `orig` only.
-            group = orig + [orig[-1]] * (k - len(orig))
-
-            voice_trees = [self._expanded_voice(v) for _, _, v, *_ in group]
-            # The batch write index must clear every spliced voice's own
-            # writes, otherwise the next prefill would overwrite voice KV rows.
-            self._written = max(
-                self._written, max(v.written for _, _, v, *_ in group)
-            )
-            self.flow_state, self.mimi_state, self.carry = self._admit_jit(
-                self.flow_state,
-                self.mimi_state,
-                self.carry,
-                voice_trees,
-                self._warm_mimi_row,
-                [jnp.int32(b) for b, *_ in group],
-                [jnp.int32(v.pos[0]) for _, _, v, *_ in group],
-                [jnp.int32(fae) for _, _, _, fae, _, _ in group],
-                [jnp.int32(mg) for _, _, _, _, mg, _ in group],
-                jnp.int32(self._written),
-            )
-            for b, handle, voice_state, fae, max_gen, tokens in orig:
-                self._pos[b] = voice_state.pos[0]
-                slot = self._slots[b]
-                slot.active = True
-                slot.handle = handle
-                slot.emitted = 0
-                self._epoch_counter += 1
-                slot.epoch = self._epoch_counter
-                logger.info(
-                    "engine: admitted request %d into slot %d", handle.request_id, b
+        # One scatter-admit call per UNIQUE voice: the typical burst shares a
+        # single voice, so a cold 64-burst is ONE dispatch with one voice
+        # tree (the old per-row design marshaled 64 trees + 256 eager device
+        # scalars per burst — see _build_admit_fn).
+        by_voice: dict[int, list] = {}
+        for it in items:
+            by_voice.setdefault(id(it[2]), []).append(it)
+        for group_items in by_voice.values():
+            start = 0
+            while start < len(group_items):
+                orig = group_items[start : start + self.num_slots]
+                start += len(orig)
+                k = next(s for s in self._admit_sizes() if s >= len(orig))
+                # Pad to the compiled size by repeating the last item
+                # (duplicate scatter indices write identical rows); slot
+                # bookkeeping below iterates `orig` only.
+                group = orig + [orig[-1]] * (k - len(orig))
+                voice_state = orig[0][2]
+                # The batch write index must clear the spliced voice's own
+                # writes, otherwise the next prefill would overwrite voice
+                # KV rows.
+                self._written = max(self._written, voice_state.written)
+                self.flow_state, self.mimi_state, self.carry = self._admit_jit(
+                    self.flow_state,
+                    self.mimi_state,
+                    self.carry,
+                    self._expanded_voice(voice_state),
+                    self._warm_mimi_row,
+                    np.asarray([b for b, *_ in group], np.int32),
+                    np.asarray(
+                        [voice_state.pos[0]] * len(group), np.int32
+                    ),
+                    np.asarray([fae for *_, fae, _, _ in group], np.int32),
+                    np.asarray([mg for *_, mg, _ in group], np.int32),
+                    jnp.int32(self._written),
                 )
-                admitted.append((b, tokens))
+                self._admit_bookkeep(orig, admitted)
         return admitted
+
+    def _admit_bookkeep(self, orig: list, admitted: list) -> None:
+        for b, handle, voice_state, fae, max_gen, tokens in orig:
+            self._pos[b] = voice_state.pos[0]
+            slot = self._slots[b]
+            slot.active = True
+            slot.handle = handle
+            slot.emitted = 0
+            self._epoch_counter += 1
+            slot.epoch = self._epoch_counter
+            logger.info(
+                "engine: admitted request %d into slot %d", handle.request_id, b
+            )
+            admitted.append((b, tokens))
 
     def _prefill_admitted(self, admitted: list[tuple[int, list[int]]]):
         """One batched prefill for all newly admitted slots (others length 0)."""
