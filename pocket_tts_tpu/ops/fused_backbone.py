@@ -98,14 +98,17 @@ def fused_attn_mode() -> str:
 
 
 def fused_block_mode() -> str:
-    """Weight-streaming block size for the megakernel: "pair" (2 MiB blocks,
-    7 phases/layer, 42 grid steps) or "quad" (4 MiB blocks, 4 phases/layer,
-    24 grid steps — same bytes in fewer, larger DMAs, less per-grid-step
-    overhead). POCKET_TTS_FUSED_BLOCK selects; the dispatcher demotes quad
-    to pair when the KV scratch would not leave room for the doubled weight
-    double-buffer (see transformer._fused_decode)."""
-    v = (os.environ.get("POCKET_TTS_FUSED_BLOCK", "pair") or "pair").strip().lower()
-    return v if v in ("pair", "quad") else "pair"
+    """Weight-streaming block size for the megakernel, default "quad":
+    "pair" (2 MiB blocks, 7 phases/layer, 42 grid steps) or "quad" (4 MiB
+    blocks, 4 phases/layer, 24 grid steps — same bytes in fewer, larger DMAs,
+    less per-grid-step overhead). Measured in the production segment at
+    C=512 (benchmarks/ablate.py, best-of-5): backbone marginal 0.141 (pair)
+    -> 0.131 ms/frame (quad); bitwise-identical outputs. The dispatcher
+    demotes quad to pair when the KV scratch would not leave room for the
+    doubled weight double-buffer (see transformer._fused_decode).
+    POCKET_TTS_FUSED_BLOCK=pair opts out."""
+    v = (os.environ.get("POCKET_TTS_FUSED_BLOCK", "quad") or "quad").strip().lower()
+    return v if v in ("pair", "quad") else "quad"
 
 
 def _erf(x: jnp.ndarray) -> jnp.ndarray:

@@ -257,9 +257,11 @@ class StreamingTransformer:
         block = fused_block_mode()
         k0 = layers[0]["k"]
         kv_bytes = 2 * k0.shape[1] * k0.shape[2] * k0.shape[3] * k0.dtype.itemsize
-        if block == "quad" and kv_bytes > 4 * 1024 * 1024:
-            # quad doubles the weight double-buffer (4 -> 8 MiB); past
-            # ~4 MiB of KV scratch the 16 MiB scoped-VMEM limit is at risk.
+        if block == "quad" and kv_bytes > 2 * 1024 * 1024:
+            # quad doubles the weight double-buffer (4 -> 8 MiB); with 4 MiB
+            # of KV scratch (C=1024 bf16) the kernel measures 16.41 MiB of
+            # scoped VMEM — 420 KiB over the 16 MiB limit — so quad engages
+            # only for buckets up to C=512 (bf16).
             block = "pair"
         y, k_new, v_new = fused_backbone_decode(
             params["fused"],

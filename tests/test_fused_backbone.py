@@ -35,7 +35,11 @@ def setup():
     return t, qparams, packed, state
 
 
-def test_kernel_matches_oracle_step(setup):
+@pytest.mark.parametrize(
+    "attn_mode,block",
+    [("mxu", "pair"), ("vpu", "quad"), ("hbatch", "quad")],
+)
+def test_kernel_matches_oracle_step(setup, attn_mode, block):
     t, qparams, packed, state = setup
     x = jax.random.normal(jax.random.PRNGKey(2), (1, 1, E), jnp.float32) * 0.5
     positions = jnp.full((1, 1), 17, jnp.int32)
@@ -56,6 +60,8 @@ def test_kernel_matches_oracle_step(setup):
         sin[0, 0, 0],
         num_heads=H,
         interpret=True,
+        attn_mode=attn_mode,
+        block=block,
     )
     np.testing.assert_allclose(
         np.asarray(y[0]), np.asarray(ref_out[0, 0]), rtol=0, atol=2e-2
