@@ -118,12 +118,19 @@ class TTSEngine:
         record_frame_times: bool = False,
         max_capacity: Optional[int] = None,
         first_segment_frames: int = 2,
+        prefill_buckets: tuple = (16, 32),
     ):
         self.model = model
         self.num_slots = slots
         self.segment_frames = segment_frames
         self.capacity = capacity
         self.text_pad = text_pad
+        # Prefill width buckets (ascending, always ending in text_pad): an
+        # admission prefills at the smallest width covering its longest
+        # text. All widths precompile at startup.
+        self.prefill_buckets = tuple(
+            sorted({w for w in prefill_buckets if 0 < w < text_pad} | {text_pad})
+        )
         # Dynamic capacity: a submit() whose KV need exceeds `capacity` is
         # accepted and the cache grows to the next bucket at a tick boundary
         # (expand + one recompile, amortized) up to `max_capacity`; only
@@ -202,6 +209,7 @@ class TTSEngine:
         # batch-common widx scalar is shared across layers after admission),
         # and XLA rejects donating one buffer twice.
         self._prefill = jax.jit(self._prefill_fn)
+        self._precompile_prefill()
         self._silence_lane = jax.jit(
             lambda c, b: {**c, "max_gen": jax.lax.dynamic_update_slice(
                 c["max_gen"], jnp.zeros((1,), c["max_gen"].dtype), (b,)
@@ -384,6 +392,20 @@ class TTSEngine:
         sizes.append(self.num_slots)
         return sizes
 
+    def _precompile_prefill(self):
+        """Compile every prefill width NOW (no-op prefills with length 0,
+        results discarded — prefill does not donate, so the live state is
+        untouched). An unseen width otherwise compiles at the first
+        admission that needs it, mid-serving."""
+        B = self.num_slots
+        for w in self.prefill_buckets:
+            self._prefill(
+                self.model.params,
+                self.flow_state,
+                self.model._place_batch(np.zeros((B, w), np.int32), B),
+                self.model._place_batch(np.zeros((B,), np.int32), B),
+            )
+
     def _warm_mimi(self):
         """Warmed B=1 Mimi row: the zero-latent warmup is deterministic and
         voice-independent, so it is computed once and spliced everywhere."""
@@ -503,10 +525,18 @@ class TTSEngine:
     def _prefill_admitted(self, admitted: list[tuple[int, list[int]]]):
         """One batched prefill for all newly admitted slots (others length 0)."""
         B = self.num_slots
-        tokens = np.zeros((B, self.text_pad), dtype=np.int32)
+        # Width-bucketed prefill: pad to the smallest compiled width that
+        # fits the longest admitted text instead of always text_pad — the
+        # batched prefill is ~1 ms of device time per 16 positions at B=64,
+        # a direct term of TTFA under load, and narrower widths also write
+        # fewer padding rows into the shared KV (less compaction pressure).
+        # Every width precompiles at startup (_precompile_prefill).
+        longest = max((len(toks) for _, toks in admitted), default=0)
+        width = next(w for w in self.prefill_buckets if w >= min(longest, self.text_pad))
+        tokens = np.zeros((B, width), dtype=np.int32)
         lengths = np.zeros((B,), dtype=np.int32)
         for b, toks in admitted:
-            toks = toks[: self.text_pad]
+            toks = toks[:width]
             tokens[b, : len(toks)] = toks
             lengths[b] = len(toks)
             self._pos[b] += len(toks)
@@ -516,7 +546,7 @@ class TTSEngine:
             self.model._place_batch(tokens, B),
             self.model._place_batch(lengths, B),
         )
-        self._written += self.text_pad
+        self._written += width
 
     # ------------------------------------------------------------ growth
 
@@ -540,8 +570,9 @@ class TTSEngine:
         self.capacity = target
         self._voice_cache.clear()  # cached voices are padded to the old size
         self._compact_jit = self.model._compact_jit(B, target, donate=True)
-        # New capacity = new shapes for the admission programs too.
+        # New capacity = new shapes for the admission and prefill programs.
         self._precompile_admission()
+        self._precompile_prefill()
         # Compile the new compaction program now (and reclaim dead slots
         # while at it) instead of stalling live streams at first use.
         max_valid = -(-(max(self._pos) + 1) // 8) * 8
