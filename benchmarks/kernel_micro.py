@@ -6,6 +6,14 @@ fori_loop, so per-call dispatch overhead amortizes and only the kernel's own
 throughput is measured. Used to attribute the backbone marginal cost to
 phases (attn_mode="skip" removes the attention inner loop entirely).
 
+CAVEAT: absolute numbers here run ~4x above the kernel's cost inside the
+production segment scan (~620 us/step standalone vs 0.13-0.15 ms/frame
+backbone marginal from benchmarks/ablate.py — measured r3, same code). The
+nested closed_call dispatch inside this harness's fori_loop appears to
+serialize against the kernel on this backend. Use this harness for RELATIVE
+comparisons between variants only; benchmarks/ablate.py is the authority
+for absolute per-frame cost.
+
 Usage: python benchmarks/kernel_micro.py [--capacity 1024] [--iters 64]
 """
 
