@@ -236,6 +236,10 @@ def bench_batch(model, voice, batch: int, runs: int = 5) -> dict:
         "batch": batch,
         "aggregate_rtf": aggregate_rtf,
         "realtime_streams": aggregate_rtf,  # streams sustainable at 1x
+        # A ~14.5 s relay freeze can span the whole 5-run window and poison
+        # even the median; the best run shows the device's capability in
+        # that session (the device itself is deterministic).
+        "aggregate_rtf_best": total_audio_sec / walls[0],
         "wall_sec": wall,
     }
 
@@ -266,6 +270,7 @@ def main() -> None:
             "param_dtype": f"single={SINGLE_DTYPE},batch={BATCH_DTYPE}",
             "ttfa_p50_ms": round(ttfa["p50_ms"], 1),
             "batch64_aggregate_rtf": round(batch["aggregate_rtf"], 1),
+            "batch64_aggregate_rtf_best": round(batch["aggregate_rtf_best"], 1),
             "batch64_realtime_streams": round(batch["realtime_streams"], 1),
             "engine64_aggregate_rtf": round(engine["aggregate_rtf"], 1),
             "engine64_lateness_p50_ms": round(engine["lateness_p50_ms"], 1),

@@ -1000,7 +1000,16 @@ class TTSModel:
                 ):
                     take += 1
                 batch, in_flight = in_flight[:take], in_flight[take:]
-                got = jax.device_get([(a, e, d) for _, a, e, d in batch])
+                items = [(a, e, d) for _, a, e, d in batch]
+                if exhausted and not in_flight:
+                    # Final fetch: every segment is dispatched, so `carry`
+                    # already holds the final eos_step — piggyback it here
+                    # instead of paying the epilogue's own round-trip.
+                    got, eos_step_fetched = jax.device_get(
+                        (items, carry["eos_step"])
+                    )
+                else:
+                    got = jax.device_get(items)
                 fetched = [(a, e) for a, e, _ in got]
                 segs = [s for s, *_ in batch]
                 done = got[-1][2]
