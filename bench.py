@@ -80,19 +80,23 @@ def bench_single_stream(model, voice, runs: int = 5) -> dict:
     # Warmup: compile every jit in the path.
     _ = model.generate_audio(voice, TEXT, frames_after_eos=2)
 
-    walls = []
-    audio_sec = 0.0
+    # Per-run (audio, wall) pairs: with EOS enabled durations vary run to
+    # run, so each run's RTF must use its OWN audio duration.
+    rtfs, walls, audio_sec = [], [], 0.0
     for _ in range(runs):
         t0 = time.monotonic()
         audio = model.generate_audio(voice, TEXT, frames_after_eos=2)
-        walls.append(time.monotonic() - t0)
+        wall = time.monotonic() - t0
         audio_sec = audio.shape[0] / SAMPLE_RATE
+        rtfs.append(audio_sec / wall)
+        walls.append(wall)
+    rtfs.sort()
     walls.sort()
     # Median is the honest headline (the relay adds heavy-tailed one-sided
     # latency noise); the best run is reported alongside as the capability.
     return {
-        "rtf": audio_sec / walls[len(walls) // 2],
-        "rtf_best": audio_sec / walls[0],
+        "rtf": rtfs[len(rtfs) // 2],
+        "rtf_best": rtfs[-1],
         "audio_sec": audio_sec,
         "wall_sec": walls[len(walls) // 2],
     }
@@ -103,14 +107,14 @@ def bench_streaming(model, voice, runs: int = 5) -> dict:
     dispatch schedule) — must stay close to bulk mode's RTF (VERDICT r2
     item 8: within ~25%)."""
     _ = list(model.generate_audio_stream(voice, TEXT, frames_after_eos=2))  # warm
-    walls, audio_sec = [], 0.0
+    rtfs = []
     for _ in range(runs):
         t0 = time.monotonic()
         frames = list(model.generate_audio_stream(voice, TEXT, frames_after_eos=2))
-        walls.append(time.monotonic() - t0)
-        audio_sec = sum(f.shape[0] for f in frames) / SAMPLE_RATE
-    walls.sort()
-    return {"rtf": audio_sec / walls[len(walls) // 2], "rtf_best": audio_sec / walls[0]}
+        wall = time.monotonic() - t0
+        rtfs.append(sum(f.shape[0] for f in frames) / SAMPLE_RATE / wall)
+    rtfs.sort()
+    return {"rtf": rtfs[len(rtfs) // 2], "rtf_best": rtfs[-1]}
 
 
 def bench_ttfa(model, voice, runs: int = 5) -> dict:
@@ -223,15 +227,18 @@ def bench_batch(model, voice, batch: int, runs: int = 5) -> dict:
     texts = [TEXT] * batch
     _ = model.generate_audio_batch(stacked, texts, frames_after_eos=2)  # warmup
 
-    walls = []
+    rtfs, walls = [], []
     for _ in range(runs):
         t0 = time.monotonic()
         outs = model.generate_audio_batch(stacked, texts, frames_after_eos=2)
-        walls.append(time.monotonic() - t0)
+        wall = time.monotonic() - t0
+        # Pair each run's aggregate audio with ITS wall (durations vary run
+        # to run once EOS is enabled).
+        rtfs.append(sum(o.shape[0] for o in outs) / SAMPLE_RATE / wall)
+        walls.append(wall)
+    rtfs.sort()
     walls.sort()
-    wall = walls[len(walls) // 2]
-    total_audio_sec = sum(o.shape[0] for o in outs) / SAMPLE_RATE
-    aggregate_rtf = total_audio_sec / wall
+    aggregate_rtf = rtfs[len(rtfs) // 2]
     return {
         "batch": batch,
         "aggregate_rtf": aggregate_rtf,
@@ -239,8 +246,8 @@ def bench_batch(model, voice, batch: int, runs: int = 5) -> dict:
         # A ~14.5 s relay freeze can span the whole 5-run window and poison
         # even the median; the best run shows the device's capability in
         # that session (the device itself is deterministic).
-        "aggregate_rtf_best": total_audio_sec / walls[0],
-        "wall_sec": wall,
+        "aggregate_rtf_best": rtfs[-1],
+        "wall_sec": walls[len(walls) // 2],
     }
 
 

@@ -80,8 +80,10 @@ def profile_burst(engine, voice):
     ttfa = [h.frame_times[0] - h.submit_time for h in handles if h.frame_times]
     t["ttfa_p50"] = float(np.median(ttfa)) if ttfa else float("nan")
 
-    # Drain the rest so the next burst starts cold-but-warm-jit.
-    while engine.step():
+    # Drain the rest so the next burst starts cold-but-warm-jit. A tick
+    # that retires every slot may requeue a handle's next sentence chunk,
+    # so keep stepping while anything is pending, not just while active.
+    while engine.step() or not engine._pending.empty():
         pass
     for h in handles:
         h._done.wait()

@@ -82,14 +82,21 @@ def main() -> None:
 
         return jax.jit(lambda x: jax.lax.fori_loop(0, args.iters, body, x))
 
-    for int8_act, attn_mode, block in [
+    variants = [
         (False, "mxu", "pair"),
         (False, "vpu", "pair"),
-        (False, "vpu", "quad"),
-        (False, "hbatch", "pair"),
         (True, "skip", "pair"),
-        (True, "skip", "quad"),
-    ]:
+    ]
+    if C <= 512:
+        # quad blocks and hbatch exceed the 16 MiB scoped-VMEM limit past
+        # C=512 (this harness calls the kernel directly, bypassing the
+        # dispatcher demotion in ops/transformer._fused_decode).
+        variants += [
+            (False, "vpu", "quad"),
+            (False, "hbatch", "pair"),
+            (True, "skip", "quad"),
+        ]
+    for int8_act, attn_mode, block in variants:
         f = make(int8_act, attn_mode, block)
         f(x0).block_until_ready()  # compile
         best = min(
