@@ -100,12 +100,13 @@ def fused_attn_mode() -> str:
 def fused_block_mode() -> str:
     """Weight-streaming block size for the megakernel, default "quad":
     "pair" (2 MiB blocks, 7 phases/layer, 42 grid steps) or "quad" (4 MiB
-    blocks, 4 phases/layer, 24 grid steps — same bytes in fewer, larger DMAs,
-    less per-grid-step overhead). Measured in the production segment at
-    C=512 (benchmarks/ablate.py, best-of-5): backbone marginal 0.141 (pair)
-    -> 0.131 ms/frame (quad); bitwise-identical outputs. The dispatcher
-    demotes quad to pair when the KV scratch would not leave room for the
-    doubled weight double-buffer (see transformer._fused_decode).
+    blocks, 3 phases/layer, 18 grid steps — same bytes in fewer, larger
+    DMAs, less per-grid-step overhead, one fresh block per phase). Measured
+    in the production segment at C=512 (benchmarks/ablate.py, best-of-5,
+    across windows): backbone marginal 0.141 (pair) -> 0.116-0.135 ms/frame
+    (quad); bitwise-identical outputs. The dispatcher demotes quad to pair
+    when the KV scratch would not leave room for the doubled weight
+    double-buffer (see transformer._fused_decode).
     POCKET_TTS_FUSED_BLOCK=pair opts out."""
     v = (os.environ.get("POCKET_TTS_FUSED_BLOCK", "quad") or "quad").strip().lower()
     return v if v in ("pair", "quad") else "quad"
@@ -142,13 +143,14 @@ def _layer_norm_f32(x, w, b, eps=1e-5):
 #   p=5 : pair 4 = (ff2a, ff2b)  -> FF output accumulation
 #   p=6 : pair 5 = (ff2c, ff2d)  -> rest + scale + residual (+ y at last layer)
 #
-# quad (4 phases/layer):
-#   p=0 : quad 0 = (q, k, v, out) -> ln1, q/k (+RoPE), v projections
-#   p=1 : quad 0 resident          -> attention, out-projection, residual, ln2
-#   p=2 : quad 1 = ff1 a-d         -> full FF hidden (+ next-layer KV prefetch)
-#   p=3 : quad 2 = ff2 a-d         -> FF accumulation + scale + residual (+ y)
+# quad (3 phases/layer — every phase DMAs a fresh block, so the weight
+# stream never idles on a resident-repeat phase):
+#   p=0 : quad 0 = (q, k, v, out) -> ln1, q/k (+RoPE), v projections,
+#                                    attention, out-projection, residual, ln2
+#   p=1 : quad 1 = ff1 a-d         -> full FF hidden (+ next-layer KV prefetch)
+#   p=2 : quad 2 = ff2 a-d         -> FF accumulation + scale + residual (+ y)
 _PAIR_PHASES = 7
-_QUAD_PHASES = 4
+_QUAD_PHASES = 3
 _NCHUNK = 12
 
 # Static scale-row ids (chunk order in pack_backbone_int8)
@@ -162,9 +164,9 @@ def _pair_index(p):
 
 
 def _quad_index(p):
-    # p -> quad id in the [6, 3, 4, E, E]-viewed chunk array; phase 1
-    # repeats quad 0 (attention + out-proj), so no fresh DMA happens there.
-    return jnp.where(p >= 2, p - 1, 0)
+    # p -> quad id in the [6, 3, 4, E, E]-viewed chunk array (one fresh
+    # block per phase).
+    return p
 
 
 def _kernel(
@@ -461,23 +463,20 @@ def _kernel(
         def _():
             body_ff2([(2, 0), (3, 1)])
             body_tail()
-    else:  # quad: 4 phases/layer, 4 MiB blocks, 24 grid steps total
+    else:  # quad: 3 phases/layer, 4 MiB blocks, 18 grid steps total
         @pl.when(p == 0)
         def _():
             body_layer_start()
             body_qk(0, 1)
             body_v(2)
-
-        @pl.when(p == 1)
-        def _():
             body_attn_out(3)
 
-        @pl.when(p == 2)
+        @pl.when(p == 1)
         def _():
             body_prefetch_next_kv()
             body_ff1([(0, 0), (1, 1), (2, 2), (3, 3)])
 
-        @pl.when(p == 3)
+        @pl.when(p == 2)
         def _():
             body_ff2([(0, 0), (1, 1), (2, 2), (3, 3)])
             body_tail()
