@@ -72,6 +72,15 @@ logger = logging.getLogger(__name__)
 _BULK_SEGMENT_FRAMES = 64
 
 
+def _stream_steady(segment_frames: int) -> int:
+    """Steady-state streaming segment size: 32 frames regardless of the
+    (smaller) engine-style default segment size — dispatch granularity, not
+    yield granularity; a larger segment_frames raises the cap (bounded at
+    64, the bulk segment size). Shared with the Mimi decode-ring sizing so
+    the vocoder ring always covers the largest streamed chunk."""
+    return min(64, max(32, 1 << (max(1, segment_frames) - 1).bit_length()))
+
+
 def _stream_schedule(max_gen_all: int, segment_frames: int) -> list[int]:
     """Streaming segment schedule: 1, 2, 4, ... doubling to a 32-frame steady
     state, tail bucketed to a power of 2.
@@ -83,10 +92,7 @@ def _stream_schedule(max_gen_all: int, segment_frames: int) -> list[int]:
     emit-masked and the stream positions rewind afterwards, so compiled
     shapes stay bounded to {1, 2, 4, 8, 16, 32}.
     """
-    # 32-frame steady state regardless of the (smaller) engine-style default
-    # segment size — dispatch granularity, not yield granularity; a larger
-    # segment_frames raises the cap (bounded at 64, the bulk segment size).
-    steady = min(64, max(32, 1 << (max(1, segment_frames) - 1).bit_length()))
+    steady = _stream_steady(segment_frames)
     sched, total, s = [], 0, 1
     while total < max_gen_all:
         rem = max_gen_all - total
@@ -879,7 +885,9 @@ class TTSModel:
         # Ring capacity must cover the largest chunk vocoded in one call; for
         # streaming use the steady-state cap regardless of utterance length
         # so every utterance shares ONE set of compiled shapes.
-        max_chunk = max(bulk_sched, default=1) if bulk else 32
+        max_chunk = (
+            max(bulk_sched, default=1) if bulk else _stream_steady(segment_frames)
+        )
         warm_key = ("warm_mimi", B, max_chunk, warmup_frames)
         warm_template = self._jit_cache.get(warm_key)
         if warm_template is None:

@@ -135,7 +135,14 @@ class TTSEngine:
         # accepted and the cache grows to the next bucket at a tick boundary
         # (expand + one recompile, amortized) up to `max_capacity`; only
         # beyond that is it rejected. Default headroom: 4x the initial size.
-        self.max_capacity = 4 * capacity if max_capacity is None else max_capacity
+        # The ceiling is aligned DOWN to the capacity bucket grid so growth
+        # (which buckets UP) can never exceed it.
+        from pocket_tts_tpu.default_parameters import KV_CAPACITY_BUCKET
+
+        raw_max = 4 * capacity if max_capacity is None else max_capacity
+        self.max_capacity = max(
+            capacity, (raw_max // KV_CAPACITY_BUCKET) * KV_CAPACITY_BUCKET
+        )
         self._target_capacity = capacity
         self.warmup_frames = warmup_frames
         self.emit_pcm16 = emit_pcm16
@@ -205,6 +212,8 @@ class TTSEngine:
             else self._segment
         )
         self._just_admitted = False
+        self._ticks_since_short = 1 << 30  # first admission is always short
+        self._deferred: list = []  # oversized items awaiting capacity growth
         # No donation on prefill: state leaves may alias (e.g. the
         # batch-common widx scalar is shared across layers after admission),
         # and XLA rejects donating one buffer twice.
@@ -285,7 +294,11 @@ class TTSEngine:
             from pocket_tts_tpu.models.tts_model import _bucket
 
             with self._lock:
-                self._target_capacity = max(self._target_capacity, _bucket(worst))
+                # max_capacity is bucket-aligned (constructor), so the
+                # bucketed target can never exceed it for an accepted worst.
+                self._target_capacity = max(
+                    self._target_capacity, min(_bucket(worst), self.max_capacity)
+                )
         with self._lock:
             handle = RequestHandle(self._next_id, text, submit_time=time.monotonic())
             self._next_id += 1
@@ -606,20 +619,28 @@ class TTSEngine:
         With block_seconds > 0 the first fetch blocks briefly — used by the
         run loop when fully idle so it doesn't busy-spin a CPU core.
         """
+        from pocket_tts_tpu.models.tts_model import _bucket
+
         self._maybe_grow()
-        to_admit = []
+        free = [b for b, s in enumerate(self._slots) if not s.active]
+        if not free:
+            return False
+        admissible, deferred = [], []
+        candidates = self._deferred
+        self._deferred = []
         first = True
-        for b, slot in enumerate(self._slots):
-            if slot.active:
-                continue
-            try:
-                if first and block_seconds > 0:
-                    item = self._pending.get(timeout=block_seconds)
-                else:
-                    item = self._pending.get_nowait()
-            except queue.Empty:
-                break
-            first = False
+        while len(admissible) < len(free):
+            if candidates:
+                item = candidates.pop(0)
+            else:
+                try:
+                    if first and block_seconds > 0:
+                        item = self._pending.get(timeout=block_seconds)
+                    else:
+                        item = self._pending.get_nowait()
+                except queue.Empty:
+                    break
+                first = False
             handle, voice, fae, max_gen, tokens = item
             if handle._cancelled.is_set():
                 # Client gave up while queued: finish the handle for free.
@@ -628,13 +649,39 @@ class TTSEngine:
                     handle._queue.put(None)
                     handle._done.set()
                 continue
-            to_admit.append((b, handle, voice, fae, max_gen, tokens))
-        if not to_admit:
+            need = voice.written + self.text_pad + max_gen + 2 * self.segment_frames
+            if need > self.capacity:
+                # Oversized for the CURRENT cache: a submit() racing this
+                # tick's _maybe_grow can be dequeued before the growth it
+                # requested happens. Admitting it now would decode against
+                # an under-sized cache (or crash splicing an oversized
+                # voice row) — park it and retry after the next tick's
+                # growth instead.
+                with self._lock:
+                    self._target_capacity = max(
+                        self._target_capacity,
+                        min(_bucket(need), self.max_capacity),
+                    )
+                deferred.append(item)
+                continue
+            admissible.append(item)
+        self._deferred = deferred + candidates
+        if not admissible:
             return False
+        to_admit = [
+            (b, handle, voice, fae, max_gen, tokens)
+            for b, (handle, voice, fae, max_gen, tokens) in zip(free, admissible)
+        ]
         admitted = self._admit_group(to_admit)
         self._maybe_compact()
         self._prefill_admitted(admitted)
-        self._just_admitted = True  # next tick runs the short segment (TTFA)
+        # Short-tick rate limit: the 2-frame post-admission segment + its
+        # blocking immediate delivery buys cold-burst TTFA but costs ~4x
+        # per-frame fixed overhead and a pipelining bubble; under sustained
+        # churn (an admission nearly every tick) it must not become the
+        # steady state. At most one short tick per 4 ticks.
+        if self._ticks_since_short >= 4:
+            self._just_admitted = True  # next tick runs the short segment
         return True
 
     def _retire_epoch(self, epoch: int) -> None:
@@ -663,8 +710,10 @@ class TTSEngine:
         if self._just_admitted:
             seg_fn, frames = self._segment_short, self.first_segment_frames
             self._just_admitted = False
+            self._ticks_since_short = 0
         else:
             seg_fn, frames = self._segment, self.segment_frames
+            self._ticks_since_short += 1
         (
             self.flow_state,
             self.mimi_state,
@@ -787,7 +836,12 @@ class TTSEngine:
                 self._deliver(dispatched)
                 dispatched = None
             in_flight = dispatched
-            if not any_active and in_flight is None and self._pending.empty():
+            if (
+                not any_active
+                and in_flight is None
+                and self._pending.empty()
+                and not self._deferred
+            ):
                 idle_ticks += 1
                 if stop_when_idle and idle_ticks > 1:
                     return

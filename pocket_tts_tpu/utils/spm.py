@@ -205,7 +205,14 @@ class _Charsmap:
     """Reader for the precompiled charsmap blob (darts commonPrefixSearch)."""
 
     def __init__(self, blob: bytes):
+        if len(blob) < 4:
+            raise ValueError("precompiled charsmap blob too short for header")
         (trie_size,) = struct.unpack_from("<I", blob, 0)
+        if trie_size % 4 or 4 + trie_size > len(blob):
+            raise ValueError(
+                f"corrupt precompiled charsmap: trie_size={trie_size} "
+                f"exceeds blob of {len(blob)} bytes"
+            )
         n_units = trie_size // 4
         self.units = struct.unpack_from(f"<{n_units}I", blob, 4)
         self.pool = blob[4 + trie_size :]
@@ -226,6 +233,13 @@ class _Charsmap:
                 break
             node_pos ^= _unit_offset(unit)
             if (unit >> 8) & 1:
+                # Bounds-check ONLY the leaf-value read: a darts base may
+                # legally exceed the array as long as base^label stays
+                # inside (checked at the top of the loop); but a leaf read
+                # at an out-of-range base means a corrupt blob and must not
+                # IndexError deep inside encode().
+                if node_pos >= len(units):
+                    break
                 value = units[node_pos] & 0x7FFFFFFF
                 longest = (i - start + 1, value)
         if longest is None:
