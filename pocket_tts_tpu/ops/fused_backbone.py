@@ -99,17 +99,19 @@ def fused_attn_mode() -> str:
 
 def fused_block_mode() -> str:
     """Weight-streaming block size for the megakernel, default "quad":
-    "pair" (2 MiB blocks, 7 phases/layer, 42 grid steps) or "quad" (4 MiB
+    "pair" (2 MiB blocks, 7 phases/layer, 42 grid steps), "quad" (4 MiB
     blocks, 3 phases/layer, 18 grid steps — same bytes in fewer, larger
-    DMAs, less per-grid-step overhead, one fresh block per phase). Measured
-    in the production segment at C=512 (benchmarks/ablate.py, best-of-5,
-    across windows): backbone marginal 0.141 (pair) -> 0.116-0.135 ms/frame
-    (quad); bitwise-identical outputs. The dispatcher demotes quad to pair
-    when the KV scratch would not leave room for the doubled weight
-    double-buffer (see transformer._fused_decode).
-    POCKET_TTS_FUSED_BLOCK=pair opts out."""
+    DMAs, less per-grid-step overhead, one fresh block per phase), or "tri"
+    (3 MiB blocks, 4 phases/layer, 24 grid steps — block boundaries
+    straddle the logical ops; fits the C=1024+ buckets where quad's 8 MiB
+    double-buffer overflows the 16 MiB scoped VMEM). Measured in the
+    production segment (benchmarks/ablate.py, best-of-5, across windows):
+    backbone marginal at C=512 0.141 (pair) -> 0.116-0.146 (quad); at
+    C=1024 0.15-0.18 (pair) -> 0.142 (tri); bitwise-identical outputs. The
+    dispatcher demotes quad to tri past C=512
+    (see transformer._fused_decode). POCKET_TTS_FUSED_BLOCK=pair opts out."""
     v = (os.environ.get("POCKET_TTS_FUSED_BLOCK", "quad") or "quad").strip().lower()
-    return v if v in ("pair", "quad") else "quad"
+    return v if v in ("pair", "quad", "tri") else "quad"
 
 
 def _erf(x: jnp.ndarray) -> jnp.ndarray:
@@ -149,8 +151,20 @@ def _layer_norm_f32(x, w, b, eps=1e-5):
 #                                    attention, out-projection, residual, ln2
 #   p=1 : quad 1 = ff1 a-d         -> full FF hidden (+ next-layer KV prefetch)
 #   p=2 : quad 2 = ff2 a-d         -> FF accumulation + scale + residual (+ y)
+#
+# tri (4 phases/layer, 3 MiB blocks — block boundaries straddle the logical
+# ops, which the (chunk, block-local) parameterization absorbs; fits the
+# C=1024/2048 buckets where quad's 8 MiB double-buffer would overflow the
+# 16 MiB scoped VMEM):
+#   p=0 : tri 0 = (q, k, v)          -> ln1, q/k (+RoPE), v projections
+#   p=1 : tri 1 = (out, ff1a, ff1b)  -> attention, out-proj, residual, ln2,
+#                                       first half of the FF hidden
+#   p=2 : tri 2 = (ff1c, ff1d, ff2a) -> rest of hidden, FF accumulation
+#                                       starts (+ next-layer KV prefetch)
+#   p=3 : tri 3 = (ff2b, ff2c, ff2d) -> rest + scale + residual (+ y)
 _PAIR_PHASES = 7
 _QUAD_PHASES = 3
+_TRI_PHASES = 4
 _NCHUNK = 12
 
 # Static scale-row ids (chunk order in pack_backbone_int8)
@@ -165,6 +179,12 @@ def _pair_index(p):
 
 def _quad_index(p):
     # p -> quad id in the [6, 3, 4, E, E]-viewed chunk array (one fresh
+    # block per phase).
+    return p
+
+
+def _tri_index(p):
+    # p -> tri id in the [6, 4, 3, E, E]-viewed chunk array (one fresh
     # block per phase).
     return p
 
@@ -391,20 +411,27 @@ def _kernel(
         for c, j in pairs:
             hcol = matmul_chunk(lnx_s[:, :], j, _SFF1 + c)
             hcol = 0.5 * hcol * (1.0 + _erf(hcol * 0.7071067811865476))
-            h1_s[:, c * E : (c + 1) * E] = hcol
+            # h1_s stores bf16: ff2 casts the hidden to bf16 at its matmul
+            # anyway (mirroring ops/linear), so rounding at the store is
+            # bitwise-identical to rounding at the read — and it halves the
+            # largest activation scratch (the tri layout at C=1024 was 8 KiB
+            # over the 16 MiB scoped-VMEM limit with an f32 h1_s).
+            h1_s[:, c * E : (c + 1) * E] = hcol.astype(jnp.bfloat16)
 
     def body_ff2(pairs):
         for c, j in pairs:
-            hseg = h1_s[:, c * E : (c + 1) * E]
+            hseg = h1_s[:, c * E : (c + 1) * E]  # bf16
             if int8_act:
                 # Per-chunk activation scale (the chunks split the
                 # contraction, so each partial product carries its own
                 # s_x before accumulation; the per-output weight scale
-                # applies once at the end).
-                amax = jnp.max(jnp.abs(hseg[0:1, :]))
+                # applies once at the end). Quant math in f32 on the
+                # bf16-rounded hidden.
+                hf = hseg.astype(jnp.float32)
+                amax = jnp.max(jnp.abs(hf[0:1, :]))
                 s_x = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
                 hq = jnp.clip(
-                    jnp.round(hseg * (1.0 / s_x)), -127, 127
+                    jnp.round(hf * (1.0 / s_x)), -127, 127
                 ).astype(jnp.int8)
                 part = (
                     jnp.dot(hq, w_ref[0, j], preferred_element_type=jnp.int32)
@@ -413,7 +440,7 @@ def _kernel(
                 )
             else:
                 part = jnp.dot(
-                    hseg.astype(jnp.bfloat16),
+                    hseg,
                     w_ref[0, j].astype(jnp.bfloat16),
                     preferred_element_type=jnp.float32,
                 )
@@ -463,7 +490,7 @@ def _kernel(
         def _():
             body_ff2([(2, 0), (3, 1)])
             body_tail()
-    else:  # quad: 3 phases/layer, 4 MiB blocks, 18 grid steps total
+    elif block == "quad":  # 3 phases/layer, 4 MiB blocks, 18 grid steps
         @pl.when(p == 0)
         def _():
             body_layer_start()
@@ -479,6 +506,28 @@ def _kernel(
         @pl.when(p == 2)
         def _():
             body_ff2([(0, 0), (1, 1), (2, 2), (3, 3)])
+            body_tail()
+    else:  # tri: 4 phases/layer, 3 MiB blocks, 24 grid steps
+        @pl.when(p == 0)
+        def _():
+            body_layer_start()
+            body_qk(0, 1)
+            body_v(2)
+
+        @pl.when(p == 1)
+        def _():
+            body_attn_out(0)
+            body_ff1([(0, 1), (1, 2)])
+
+        @pl.when(p == 2)
+        def _():
+            body_prefetch_next_kv()
+            body_ff1([(2, 0), (3, 1)])
+            body_ff2([(0, 2)])
+
+        @pl.when(p == 3)
+        def _():
+            body_ff2([(1, 0), (2, 1), (3, 2)])
             body_tail()
 
 
@@ -594,11 +643,12 @@ def fused_backbone_decode(
         block=block,
     )
 
-    nblk = 2 if block == "pair" else 4
-    blk_index = _pair_index if block == "pair" else _quad_index
+    nblk = {"pair": 2, "quad": 4, "tri": 3}[block]
+    blk_index = {"pair": _pair_index, "quad": _quad_index, "tri": _tri_index}[block]
+    phases = {"pair": _PAIR_PHASES, "quad": _QUAD_PHASES, "tri": _TRI_PHASES}[block]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(L, _PAIR_PHASES if block == "pair" else _QUAD_PHASES),
+        grid=(L, phases),
         in_specs=[
             pl.BlockSpec((8, E), lambda l, p, _qp: (0, 0)),  # x
             pl.BlockSpec((1, nblk, E, E), lambda l, p, _qp: (l, blk_index(p), 0, 0)),
@@ -621,7 +671,7 @@ def fused_backbone_decode(
             pltpu.VMEM((H, d), jnp.float32),  # k16
             pltpu.VMEM((H, d), jnp.float32),  # v16
             pltpu.VMEM((H, d), jnp.float32),  # attn16
-            pltpu.VMEM((8, 4 * E), jnp.float32),  # h1_s
+            pltpu.VMEM((8, 4 * E), jnp.bfloat16),  # h1_s (bf16: see body_ff1)
             pltpu.VMEM((8, E), jnp.float32),  # yacc_s
             pltpu.VMEM((H, C, d), cache_dtype),  # kv_k
             pltpu.VMEM((H, C, d), cache_dtype),  # kv_v

@@ -260,9 +260,9 @@ class StreamingTransformer:
         if block == "quad" and kv_bytes > 2 * 1024 * 1024:
             # quad doubles the weight double-buffer (4 -> 8 MiB); with 4 MiB
             # of KV scratch (C=1024 bf16) the kernel measures 16.41 MiB of
-            # scoped VMEM — 420 KiB over the 16 MiB limit — so quad engages
-            # only for buckets up to C=512 (bf16).
-            block = "pair"
+            # scoped VMEM — 420 KiB over the 16 MiB limit. The tri layout
+            # (3 MiB blocks, 6 MiB double-buffer) fits those buckets.
+            block = "tri"
         y, k_new, v_new = fused_backbone_decode(
             params["fused"],
             x[:, 0, :],

@@ -37,10 +37,16 @@ def setup():
 
 @pytest.mark.parametrize(
     "attn_mode,block",
-    # (vpu, pair) is what production ships for every bucket past C=512
-    # (the dispatcher demotes quad there); (vpu, quad) is the C<=512
-    # default; the others pin the opt-in forms.
-    [("mxu", "pair"), ("vpu", "pair"), ("vpu", "quad"), ("hbatch", "quad")],
+    # (vpu, quad) is the C<=512 default; (vpu, tri) is what production
+    # ships for buckets past C=512 (the dispatcher demotes quad there);
+    # the others pin the opt-in forms.
+    [
+        ("mxu", "pair"),
+        ("vpu", "pair"),
+        ("vpu", "quad"),
+        ("vpu", "tri"),
+        ("hbatch", "quad"),
+    ],
 )
 def test_kernel_matches_oracle_step(setup, attn_mode, block):
     t, qparams, packed, state = setup
