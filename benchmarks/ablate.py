@@ -39,6 +39,7 @@ def build_segment(flow_lm, mimi, lsd_steps, noise_clamp, S, unroll, ablate):
     flow_net = flow_lm.flow_net
 
     def fn(params, flow_state, mimi_state, carry, rng, temp, eos_threshold):
+        stubs = {"skeleton": {"noflow", "nomimi", "nobackbone"}}.get(ablate, {ablate})
         fp = params["flow_lm"]
 
         # Mirror production (models/generate.py): noise for all S frames is
@@ -57,7 +58,7 @@ def build_segment(flow_lm, mimi, lsd_steps, noise_clamp, S, unroll, ablate):
                 c["is_bos"][:, None], fp["bos_emb"][None, :].astype(c["latent"].dtype),
                 c["latent"],
             )
-            if ablate == "nobackbone":
+            if "nobackbone" in stubs:
                 h = jnp.tanh(linear(seq, fp["input_linear"]["weight"])).astype(jnp.float32)
                 tstate = st["transformer"]
             else:
@@ -68,7 +69,7 @@ def build_segment(flow_lm, mimi, lsd_steps, noise_clamp, S, unroll, ablate):
                 h = layer_norm(
                     h, fp["out_norm"]["weight"], fp["out_norm"]["bias"], eps=1e-5
                 ).astype(jnp.float32)[:, -1]
-            if ablate == "noflow":
+            if "noflow" in stubs:
                 nxt = noise + h[:, : flow_lm.ldim] * 1e-6  # keep h live
             else:
                 nxt = lsd_decode(lambda s, t, xc: flow_net(fp["flow_net"], h, s, t, xc),
@@ -81,7 +82,7 @@ def build_segment(flow_lm, mimi, lsd_steps, noise_clamp, S, unroll, ablate):
             step, (flow_state, carry), noise_seq, unroll=unroll
         )
         latents = jnp.transpose(latents, (1, 0, 2))
-        if ablate == "nomimi":
+        if "nomimi" in stubs:
             audio = jnp.zeros(
                 (latents.shape[0], S, mimi.frame_size), jnp.float32
             ) + latents.sum() * 0
@@ -127,7 +128,7 @@ def main() -> None:
     temp, thr = jnp.float32(0.7), jnp.float32(1e9)
 
     results = {}
-    for ablate in (None, "noflow", "nomimi", "nobackbone"):
+    for ablate in (None, "noflow", "nomimi", "nobackbone", "skeleton"):
         fn = jax.jit(
             build_segment(flow_lm, mimi, model.lsd_decode_steps, model.noise_clamp,
                           S, args.unroll, ablate),
@@ -164,6 +165,10 @@ def main() -> None:
         f"marginal (ms/frame): flow={full - results['noflow']:.3f} "
         f"mimi={full - results['nomimi']:.3f} "
         f"backbone={full - results['nobackbone']:.3f}"
+    )
+    print(
+        f"scan-skeleton floor (backbone+flow+vocoder all stubbed): "
+        f"{results['skeleton']:.3f} ms/frame"
     )
 
 
