@@ -76,6 +76,7 @@ def main() -> None:
         def body(_, x):
             y, _, _ = fused_backbone_decode(
                 packed, x, ks, vs, slot_pos, qpos, cos, sin,
+                widx=qpos,  # append over the last row (caches are loop constants)
                 num_heads=H, int8_act=int8_act, attn_mode=attn_mode, block=block,
             )
             return jnp.tanh(y)  # bounded feedback keeps values sane

@@ -190,7 +190,7 @@ def _tri_index(p):
 
 
 def _kernel(
-    qpos_ref,  # scalar prefetch: [1] int32 absolute query position
+    qpos_ref,  # scalar prefetch: [2] int32 (absolute query position, append index)
     # --- tensor inputs ---
     x_ref,  # [8, E] f32 (row 0 = the token embedding; rows 1..7 zero)
     w_ref,  # [1, 2, E, E] int8 — current weight chunk PAIR, TRANSPOSED [in, out]
@@ -209,10 +209,17 @@ def _kernel(
     attn_mode: str,
     block: str,
 ):
-    (k_hbm, v_hbm) = refs[:num_layers], refs[num_layers : 2 * num_layers]
-    y_ref, knew_ref, vnew_ref = refs[2 * num_layers : 2 * num_layers + 3]
+    L2 = 2 * num_layers
+    (k_hbm, v_hbm) = refs[:num_layers], refs[num_layers:L2]
+    y_ref = refs[L2]
+    # Aliased per-layer cache outputs, blocked to the single appended row
+    # (H, 1, d) whose position comes from the scalar-prefetched append
+    # index — the kernel writes each layer's new (k, v) row itself; the
+    # rest of the aliased buffer stays in place.
+    knew_refs = refs[L2 + 1 : L2 + 1 + num_layers]
+    vnew_refs = refs[L2 + 1 + num_layers : L2 + 1 + 2 * num_layers]
     (x_s, lnx_s, q16, k16, v16, attn16, h1_s, yacc_s, kv_k, kv_v, sem_k, sem_v) = refs[
-        2 * num_layers + 3 :
+        L2 + 1 + 2 * num_layers :
     ]
 
     l = pl.program_id(0)
@@ -273,14 +280,26 @@ def _kernel(
         split_heads(rope(matmul_chunk(lnx_s[:, :], jq, _SQ)), q16)
         k_rot = rope(matmul_chunk(lnx_s[:, :], jk, _SK))
         split_heads(k_rot, k16)
-        for h in range(H):
-            knew_ref[0, h, :] = k16[h, :].astype(knew_ref.dtype)
 
     def body_v(jv):
         v = matmul_chunk(lnx_s[:, :], jv, _SV)
         split_heads(v, v16)
-        for h in range(H):
-            vnew_ref[0, h, :] = v16[h, :].astype(vnew_ref.dtype)
+
+    def body_append():
+        # Write this layer's new (k, v) row into the ALIASED cache outputs
+        # (blocked to the appended row at the scalar-prefetched index) —
+        # replacing two dynamic-update-slice kernel launches per layer
+        # outside the kernel (the decode step is launch-count bound; see
+        # BENCHMARKS "scan-skeleton floor"). The whole-cache read DMA
+        # fetched the PRE-append cache; the written slot's pre-append
+        # slot_pos is -1 or >= qpos, so attention never uses its value
+        # this step either way.
+        for i in range(num_layers):
+            @pl.when(l == i)
+            def _(i=i):
+                for h in range(H):
+                    knew_refs[i][h, 0, :] = k16[h, :].astype(knew_refs[i].dtype)
+                    vnew_refs[i][h, 0, :] = v16[h, :].astype(vnew_refs[i].dtype)
 
     # ---- attention over the DMA'd cache + the current frame's (k, v), then
     # the out-projection (chunk jo of the still-resident block) + residual
@@ -468,6 +487,7 @@ def _kernel(
         @pl.when(p == 1)
         def _():
             body_v(0)
+            body_append()
 
         @pl.when(p == 2)
         def _():
@@ -496,6 +516,7 @@ def _kernel(
             body_layer_start()
             body_qk(0, 1)
             body_v(2)
+            body_append()
             body_attn_out(3)
 
         @pl.when(p == 1)
@@ -513,6 +534,7 @@ def _kernel(
             body_layer_start()
             body_qk(0, 1)
             body_v(2)
+            body_append()
 
         @pl.when(p == 1)
         def _():
@@ -606,17 +628,21 @@ def fused_backbone_decode(
     qpos: jnp.ndarray,  # [1] int32
     cos: jnp.ndarray,  # [d//2] f32 rope angles for qpos
     sin: jnp.ndarray,
+    widx: jnp.ndarray = None,  # [1] int32 append (write) index
     num_heads: int = 16,
     interpret: bool = False,
     int8_act: bool = False,
     attn_mode: str = "mxu",  # "mxu" | "vpu" | "hbatch" | "skip" (profiling)
-    block: str = "pair",  # "pair" (2 MiB blocks) | "quad" (4 MiB blocks)
+    block: str = "pair",  # "pair" | "quad" (4 MiB) | "tri" (3 MiB)
 ):
     """Run the full backbone decode step -> (y [1, E] f32,
-    k_new [L, H, d], v_new [L, H, d] in cache dtype).
+    k_caches', v_caches': L x [H, C, d] UPDATED caches, cache dtype).
 
-    The caller appends k_new/v_new to the HBM caches (in-place
-    dynamic_update_slice under donation) exactly as the XLA path does.
+    The kernel appends the new (k, v) row at `widx` itself, writing the
+    ALIASED cache buffers in place via async DMA — the caller's 12 per-frame
+    dynamic_update_slice launches were a measurable share of the
+    launch-count-bound scan skeleton (BENCHMARKS.md). The caller still
+    updates slot_pos (tiny per-layer arrays).
     """
     L = len(k_caches)
     E = x.shape[-1]
@@ -624,6 +650,9 @@ def fused_backbone_decode(
     d = E // H
     C = k_caches[0].shape[2]
     cache_dtype = k_caches[0].dtype
+    scalars = jnp.concatenate(
+        [qpos.astype(jnp.int32), widx.astype(jnp.int32)]
+    )  # [2]: (query position, append index)
 
     # Pair-repeat the rope angles and tile per head: lane 2i and 2i+1 of each
     # head's d lanes carry cos_i/sin_i (matches ops/rope interleaved pairs).
@@ -659,11 +688,10 @@ def fused_backbone_decode(
             pl.BlockSpec((1, C), lambda l, p, _qp: (0, 0)),  # slot_pos
         ]
         + [pl.BlockSpec(memory_space=pl.ANY)] * (2 * L),
-        out_specs=[
-            pl.BlockSpec((8, E), lambda l, p, _qp: (0, 0)),  # y
-            pl.BlockSpec((1, H, d), lambda l, p, _qp: (l, 0, 0)),  # k_new
-            pl.BlockSpec((1, H, d), lambda l, p, _qp: (l, 0, 0)),  # v_new
-        ],
+        out_specs=[pl.BlockSpec((8, E), lambda l, p, _qp: (0, 0))]  # y
+        # Aliased caches, blocked to the appended row: the block position
+        # comes from the scalar-prefetched append index (qw[1]).
+        + [pl.BlockSpec((H, 1, d), lambda l, p, qw: (0, qw[1], 0))] * (2 * L),
         scratch_shapes=[
             pltpu.VMEM((8, E), jnp.float32),  # x_s (residual stream)
             pltpu.VMEM((8, E), jnp.float32),  # lnx_s
@@ -675,22 +703,25 @@ def fused_backbone_decode(
             pltpu.VMEM((8, E), jnp.float32),  # yacc_s
             pltpu.VMEM((H, C, d), cache_dtype),  # kv_k
             pltpu.VMEM((H, C, d), cache_dtype),  # kv_v
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,  # sem_k (cache read)
+            pltpu.SemaphoreType.DMA,  # sem_v
         ],
     )
 
-    y, k_new, v_new = pl.pallas_call(
+    # Operand order: scalars(0), x8(1), wchunks(2), wscales(3), ln(4),
+    # cf(5), sf(6), slot_pos(7), k_0..k_{L-1}(8..), v_0..v_{L-1}(8+L..).
+    # Outputs: y(0), k'_0..(1..), v'_0..(1+L..). The caches alias in place.
+    aliases = {8 + i: 1 + i for i in range(L)}
+    aliases.update({8 + L + i: 1 + L + i for i in range(L)})
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((8, E), jnp.float32),
-            jax.ShapeDtypeStruct((L, H, d), cache_dtype),
-            jax.ShapeDtypeStruct((L, H, d), cache_dtype),
-        ],
+        out_shape=[jax.ShapeDtypeStruct((8, E), jnp.float32)]
+        + [jax.ShapeDtypeStruct((H, C, d), cache_dtype)] * (2 * L),
+        input_output_aliases=aliases,
         interpret=interpret,
     )(
-        qpos,
+        scalars,
         x8,
         packed["wchunks"],
         packed["wscales"],
@@ -701,4 +732,5 @@ def fused_backbone_decode(
         *[k[0] for k in k_caches],
         *[v[0] for v in v_caches],
     )
-    return y[0][None, :], k_new, v_new
+    y = outs[0]
+    return y[0][None, :], tuple(outs[1 : 1 + L]), tuple(outs[1 + L :])

@@ -263,7 +263,11 @@ class StreamingTransformer:
             # scoped VMEM — 420 KiB over the 16 MiB limit. The tri layout
             # (3 MiB blocks, 6 MiB double-buffer) fits those buckets.
             block = "tri"
-        y, k_new, v_new = fused_backbone_decode(
+        # The kernel appends the new (k, v) row at widx itself (aliased
+        # cache outputs + in-kernel DMA): the 12 per-frame
+        # dynamic_update_slice launches this loop used to issue were a
+        # measurable share of the launch-count-bound scan skeleton.
+        y, new_ks, new_vs = fused_backbone_decode(
             params["fused"],
             x[:, 0, :],
             tuple(l["k"] for l in layers),
@@ -272,6 +276,7 @@ class StreamingTransformer:
             positions[:, 0],
             cos[0, 0, 0],
             sin[0, 0, 0],
+            widx=jnp.reshape(widx, (1,)).astype(jnp.int32),
             num_heads=self.num_heads,
             int8_act=fused_int8_act_enabled(),
             attn_mode=attn_mode,
@@ -281,12 +286,8 @@ class StreamingTransformer:
         for i, l in enumerate(layers):
             new_layers.append(
                 {
-                    "k": lax.dynamic_update_slice(
-                        l["k"], k_new[i][None, :, None, :], (0, 0, widx, 0)
-                    ),
-                    "v": lax.dynamic_update_slice(
-                        l["v"], v_new[i][None, :, None, :], (0, 0, widx, 0)
-                    ),
+                    "k": new_ks[i][None],
+                    "v": new_vs[i][None],
                     "slot_pos": lax.dynamic_update_slice(
                         l["slot_pos"], positions, (0, widx)
                     ),

@@ -1,0 +1,146 @@
+"""Real-device parity check: the COMPILED Mosaic megakernel vs the XLA
+oracle path.
+
+tests/test_fused_backbone.py pins kernel parity in Pallas interpret mode on
+CPU; this script closes the remaining gap by compiling the actual Mosaic
+program on the device (TPU under axon) and checking multi-step decode
+parity — including the in-kernel KV cache append (aliased outputs), which
+interpret mode models but only the real pipeline exercises with real DMA
+ordering.
+
+For each (attn_mode, block, capacity) variant: prefill the oracle, then run
+8 consecutive decode steps through BOTH paths from the same state, carrying
+each path's own caches — so a wrong in-place append shows up as divergence
+on later steps, not just a bad first row.
+
+Usage: python scripts/tpu_parity.py [--steps 8] [--atol 0.05]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from pathlib import Path
+
+os.environ.setdefault("POCKET_TTS_OFFLINE", "1")
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+E, H, L = 1024, 16, 6
+
+
+def build(C):
+    from pocket_tts_tpu.models.weights import quantize_int8
+    from pocket_tts_tpu.ops.fused_backbone import pack_backbone_int8
+    from pocket_tts_tpu.ops.transformer import StreamingTransformer
+
+    t = StreamingTransformer(
+        d_model=E, num_heads=H, num_layers=L, dim_feedforward=4 * E, kind="flow_lm"
+    )
+    params = t.init_params(jax.random.PRNGKey(0))
+    q = quantize_int8({"flow_lm": {"transformer": params}}, subtrees=("transformer",))
+    qparams = q["flow_lm"]["transformer"]
+    packed = pack_backbone_int8(qparams["layers"])
+    state = t.init_state(1, C, dtype=jnp.bfloat16)
+    emb = jax.random.normal(jax.random.PRNGKey(1), (1, 17, E), jnp.float32) * 0.3
+    pos = jnp.arange(17, dtype=jnp.int32)[None, :]
+    _, state = t(qparams, emb, state, pos)
+    return t, qparams, packed, state
+
+
+def run_variant(t, qparams, packed, state0, steps, attn_mode, block, atol):
+    from pocket_tts_tpu.ops.fused_backbone import fused_backbone_decode
+    from pocket_tts_tpu.ops.rope import rope_angles
+
+    @jax.jit
+    def oracle_step(x, state, positions):
+        return t(qparams, x, state, positions)
+
+    @jax.jit
+    def kernel_step(x, state, positions):
+        cos, sin = rope_angles(positions, E // H)
+        widx = state["widx"]
+        layers = state["layers"]
+        y, new_ks, new_vs = fused_backbone_decode(
+            packed,
+            x[:, 0, :],
+            tuple(l["k"] for l in layers),
+            tuple(l["v"] for l in layers),
+            layers[0]["slot_pos"],
+            positions[:, 0],
+            cos[0, 0, 0],
+            sin[0, 0, 0],
+            widx=jnp.reshape(widx, (1,)).astype(jnp.int32),
+            num_heads=H,
+            attn_mode=attn_mode,
+            block=block,
+        )
+        new_layers = [
+            {
+                "k": new_ks[i][None],
+                "v": new_vs[i][None],
+                "slot_pos": jax.lax.dynamic_update_slice(
+                    layers[i]["slot_pos"], positions, (0, widx)
+                ),
+            }
+            for i in range(L)
+        ]
+        return y[:, None, :], {"layers": new_layers, "widx": widx + 1}
+
+    s_ref, s_ker = state0, state0
+    worst = 0.0
+    for step in range(steps):
+        x = jax.random.normal(jax.random.PRNGKey(100 + step), (1, 1, E), jnp.float32) * 0.5
+        positions = jnp.full((1, 1), 17 + step, jnp.int32)
+        ref_y, s_ref = oracle_step(x, s_ref, positions)
+        ker_y, s_ker = kernel_step(x, s_ker, positions)
+        err = float(np.abs(np.asarray(ker_y[0, 0]) - np.asarray(ref_y[0, 0])).max())
+        worst = max(worst, err)
+        if err > atol:
+            return worst, f"step {step}: output diverged (max|diff|={err:.5f})"
+    # Full-cache comparison at the end (history + appends + untouched tail).
+    for i in range(L):
+        for key in ("k", "v"):
+            a = np.asarray(s_ker["layers"][i][key], np.float32)
+            b = np.asarray(s_ref["layers"][i][key], np.float32)
+            err = float(np.abs(a - b).max())
+            worst = max(worst, err)
+            if err > atol:
+                return worst, f"layer {i} cache {key} diverged (max|diff|={err:.5f})"
+    return worst, None
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--atol", type=float, default=0.05)
+    args = ap.parse_args()
+
+    print("backend:", jax.devices()[0].platform, flush=True)
+    failures = 0
+    for C in (512, 1024):
+        t, qparams, packed, state = build(C)
+        # (vpu, quad) is the C<=512 production default; (vpu, tri) ships for
+        # C>512; the rest pin the opt-in forms on real hardware.
+        variants = [("vpu", "quad"), ("vpu", "tri"), ("vpu", "pair"), ("mxu", "pair")]
+        if C <= 512:
+            variants.append(("hbatch", "quad"))
+        for attn_mode, block in variants:
+            if block == "quad" and C > 512:
+                continue  # dispatcher demotes these; kernel would blow VMEM
+            worst, fail = run_variant(
+                t, qparams, packed, state, args.steps, attn_mode, block, args.atol
+            )
+            tag = "FAIL " + fail if fail else "ok"
+            print(f"C={C:5d} {attn_mode:7s} {block:5s} worst={worst:.5f}  {tag}", flush=True)
+            failures += bool(fail)
+    print("PARITY OK" if not failures else f"PARITY FAIL ({failures} variants)")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

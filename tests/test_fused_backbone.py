@@ -58,7 +58,8 @@ def test_kernel_matches_oracle_step(setup, attn_mode, block):
     from pocket_tts_tpu.ops.rope import rope_angles
 
     cos, sin = rope_angles(positions, E // H)
-    y, k_new, v_new = fused_backbone_decode(
+    widx = int(state["widx"])
+    y, new_ks, new_vs = fused_backbone_decode(
         packed,
         x[:, 0, :],
         tuple(l["k"] for l in state["layers"]),
@@ -67,6 +68,7 @@ def test_kernel_matches_oracle_step(setup, attn_mode, block):
         positions[:, 0],
         cos[0, 0, 0],
         sin[0, 0, 0],
+        widx=jnp.full((1,), widx, jnp.int32),
         num_heads=H,
         interpret=True,
         attn_mode=attn_mode,
@@ -75,17 +77,17 @@ def test_kernel_matches_oracle_step(setup, attn_mode, block):
     np.testing.assert_allclose(
         np.asarray(y[0]), np.asarray(ref_out[0, 0]), rtol=0, atol=2e-2
     )
-    # Appended cache rows must match what the oracle wrote at widx.
-    widx = int(state["widx"])
+    # The kernel appends in place: the FULL updated caches (prefix history,
+    # the new row at widx, untouched tail) must match the oracle's.
     for i in range(L):
         np.testing.assert_allclose(
-            np.asarray(k_new[i], np.float32),
-            np.asarray(ref_state["layers"][i]["k"][0, :, widx, :], np.float32),
+            np.asarray(new_ks[i], np.float32),
+            np.asarray(ref_state["layers"][i]["k"][0], np.float32),
             atol=2e-2,
         )
         np.testing.assert_allclose(
-            np.asarray(v_new[i], np.float32),
-            np.asarray(ref_state["layers"][i]["v"][0, :, widx, :], np.float32),
+            np.asarray(new_vs[i], np.float32),
+            np.asarray(ref_state["layers"][i]["v"][0], np.float32),
             atol=2e-2,
         )
 
@@ -159,7 +161,8 @@ def test_kernel_int8_act_parity(setup):
     from pocket_tts_tpu.ops.rope import rope_angles
 
     cos, sin = rope_angles(positions, E // H)
-    y, k_new, v_new = fused_backbone_decode(
+    widx = int(state["widx"])
+    y, new_ks, new_vs = fused_backbone_decode(
         packed,
         x[:, 0, :],
         tuple(l["k"] for l in state["layers"]),
@@ -168,6 +171,7 @@ def test_kernel_int8_act_parity(setup):
         positions[:, 0],
         cos[0, 0, 0],
         sin[0, 0, 0],
+        widx=jnp.full((1,), widx, jnp.int32),
         num_heads=H,
         interpret=True,
         int8_act=True,
@@ -176,11 +180,10 @@ def test_kernel_int8_act_parity(setup):
     err = np.abs(np.asarray(y[0]) - ref)
     assert err.max() < 0.12, err.max()          # absolute ceiling
     assert err.max() / np.abs(ref).max() < 0.03  # ~1% relative, margin 3x
-    widx = int(state["widx"])
     for i in range(L):
         np.testing.assert_allclose(
-            np.asarray(k_new[i], np.float32),
-            np.asarray(ref_state["layers"][i]["k"][0, :, widx, :], np.float32),
+            np.asarray(new_ks[i], np.float32),
+            np.asarray(ref_state["layers"][i]["k"][0], np.float32),
             atol=0.12,
         )
 
@@ -206,11 +209,12 @@ def test_vpu_attention_bitwise_matches_mxu(setup):
         cos[0, 0, 0],
         sin[0, 0, 0],
     )
+    widx = jnp.full((1,), int(state["widx"]), jnp.int32)
     y_mxu, k_m, v_m = fused_backbone_decode(
-        *args, num_heads=H, interpret=True, attn_mode="mxu"
+        *args, widx=widx, num_heads=H, interpret=True, attn_mode="mxu"
     )
     y_vpu, k_v, v_v = fused_backbone_decode(
-        *args, num_heads=H, interpret=True, attn_mode="vpu"
+        *args, widx=widx, num_heads=H, interpret=True, attn_mode="vpu"
     )
     np.testing.assert_array_equal(np.asarray(y_mxu), np.asarray(y_vpu))
     np.testing.assert_array_equal(np.asarray(k_m), np.asarray(k_v))
