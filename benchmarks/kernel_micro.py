@@ -83,6 +83,40 @@ def main() -> None:
 
         return jax.jit(lambda x: jax.lax.fori_loop(0, args.iters, body, x))
 
+    def make_head(attn_mode, block):
+        # The head-folded production step (fused_backbone_step): latent in,
+        # (h, eos) out; feed h's first lanes back as the next latent.
+        from pocket_tts_tpu.ops.fused_backbone import (
+            fused_backbone_step,
+            pack_backbone_head,
+        )
+
+        khead = jax.random.split(jax.random.PRNGKey(4), 5)
+        head_packed = pack_backbone_head(
+            {
+                "input_linear": {"weight": jax.random.normal(khead[0], (E, 32)) * 0.1},
+                "out_norm": {
+                    "weight": jnp.ones((E,), jnp.float32),
+                    "bias": jnp.zeros((E,), jnp.float32),
+                },
+                "out_eos": {
+                    "weight": jax.random.normal(khead[1], (1, E)) * 0.03,
+                    "bias": jnp.zeros((1,), jnp.float32),
+                },
+                "bos_emb": jax.random.normal(khead[2], (32,)),
+            }
+        )
+        is_bos = jnp.zeros((1,), jnp.bool_)
+
+        def body(_, lat):
+            h, eos, _, _, _ = fused_backbone_step(
+                packed, head_packed, lat, is_bos, ks, vs, slot_pos, qpos,
+                cos, sin, qpos, num_heads=H, attn_mode=attn_mode, block=block,
+            )
+            return jnp.tanh(h[:, :32])
+
+        return jax.jit(lambda lat: jax.lax.fori_loop(0, args.iters, body, lat))
+
     variants = [
         (False, "mxu", "pair"),
         (False, "vpu", "pair"),
@@ -109,6 +143,18 @@ def main() -> None:
             f"{us:8.1f} us/step",
             flush=True,
         )
+
+    # The head-folded production step at this bucket's shipped config.
+    hblock = "quad" if C <= 512 else "tri"
+    f = make_head("vpu", hblock)
+    lat0 = jax.random.normal(jax.random.PRNGKey(5), (1, 32), jnp.float32)
+    f(lat0).block_until_ready()
+    best = min(_timed(f, lat0) for _ in range(args.repeats))
+    print(
+        f"head-folded  attn=vpu    block={hblock:4s}: "
+        f"{best * 1e6 / args.iters:8.1f} us/step",
+        flush=True,
+    )
 
 
 def _timed(f, x0) -> float:

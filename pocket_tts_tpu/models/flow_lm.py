@@ -183,6 +183,13 @@ class FlowLMModel:
         frames of a segment in ONE op before its scan — bitwise identical to
         drawing from `rng` here, but off the serial per-frame path)."""
         B = latent.shape[0]
+        if self._fused_step_ok(params, state, B):
+            state, h, eos_logits = self._fused_step(params, state, latent, is_bos)
+            is_eos = eos_logits > eos_threshold
+            return self._flow_sample(
+                params, state, h, rng, temp, lsd_decode_steps, noise_clamp,
+                is_eos, noise, B,
+            )
         seq = jnp.where(is_bos[:, None], params["bos_emb"][None, :].astype(latent.dtype), latent)
         x = linear(seq[:, None, :], params["input_linear"]["weight"])  # [B, 1, dim]
 
@@ -197,6 +204,17 @@ class FlowLMModel:
         eos_logits = linear(h, params["out_eos"]["weight"], params["out_eos"]["bias"])[:, 0]
         is_eos = eos_logits > eos_threshold
 
+        new_state = {"transformer": transformer_state, "pos": state["pos"] + 1}
+        return self._flow_sample(
+            params, new_state, h, rng, temp, lsd_decode_steps, noise_clamp,
+            is_eos, noise, B,
+        )
+
+    def _flow_sample(
+        self, params, new_state, h, rng, temp, lsd_decode_steps, noise_clamp,
+        is_eos, noise, B,
+    ):
+        """Integrate the flow-matching ODE from noise, conditioned on h."""
         if noise is None:
             noise = sample_noise(rng, (B, self.ldim), temp, noise_clamp)
         flow = self.flow_net
@@ -205,8 +223,82 @@ class FlowLMModel:
             return flow(params["flow_net"], h, s, t, x_cur)
 
         next_latent = lsd_decode(v_t, noise, lsd_decode_steps)
-        new_state = {"transformer": transformer_state, "pos": state["pos"] + 1}
         return new_state, next_latent, is_eos
+
+    def _fused_step_ok(self, params: Params, state: State, B: int) -> bool:
+        """Static dispatch test for the head-folded megakernel
+        (ops/fused_backbone.fused_backbone_step): B == 1 decode with packed
+        int8 weights + head constants present (load_model packs them on TPU
+        only) and a capacity bucket within the kernel's VMEM budget."""
+        from pocket_tts_tpu.ops.fused_backbone import fused_head_enabled
+
+        t = params["transformer"]
+        return (
+            B == 1
+            and isinstance(t, dict)
+            and "fused" in t
+            and "fused_head" in t
+            and fused_head_enabled()
+            and StreamingTransformer._fused_capacity_ok(state["transformer"])
+        )
+
+    def _fused_step(
+        self, params: Params, state: State, latent: jnp.ndarray, is_bos: jnp.ndarray
+    ) -> tuple[State, jnp.ndarray, jnp.ndarray]:
+        """B=1 backbone step through the head-folded megakernel ->
+        (new state, h [1, dim] f32 post-out-norm, eos_logit [1] f32).
+
+        The kernel appends this frame's (k, v) and slot position in place
+        (aliased outputs) and runs the input projection / out_norm / EOS
+        logit on already-resident VMEM data; all six layers share ONE
+        updated slot_pos array (their rows are always written in lockstep)."""
+        from pocket_tts_tpu.ops.fused_backbone import (
+            fused_backbone_step,
+            fused_int8_act_enabled,
+            select_modes,
+        )
+        from pocket_tts_tpu.ops.rope import rope_angles
+
+        t_params = params["transformer"]
+        tstate = state["transformer"]
+        layers = tstate["layers"]
+        widx = tstate["widx"]
+        positions = state["pos"][:, None]  # [1, 1]
+        tcfg = self.config.transformer
+        cos, sin = rope_angles(
+            jnp.maximum(positions, 0),
+            tcfg.d_model // tcfg.num_heads,
+            float(tcfg.max_period),
+        )
+        k0 = layers[0]["k"]
+        kv_bytes = 2 * k0.shape[1] * k0.shape[2] * k0.shape[3] * k0.dtype.itemsize
+        attn_mode, block = select_modes(kv_bytes, k0.shape[2])
+        h, eos_logit, new_ks, new_vs, spnew = fused_backbone_step(
+            t_params["fused"],
+            t_params["fused_head"],
+            latent,
+            is_bos,
+            tuple(l["k"] for l in layers),
+            tuple(l["v"] for l in layers),
+            layers[0]["slot_pos"],
+            positions[:, 0],
+            cos[0, 0, 0],
+            sin[0, 0, 0],
+            jnp.reshape(widx, (1,)).astype(jnp.int32),
+            num_heads=tcfg.num_heads,
+            int8_act=fused_int8_act_enabled(),
+            attn_mode=attn_mode,
+            block=block,
+        )
+        new_layers = [
+            {"k": new_ks[i][None], "v": new_vs[i][None], "slot_pos": spnew}
+            for i in range(len(layers))
+        ]
+        new_state = {
+            "transformer": {"layers": new_layers, "widx": widx + 1},
+            "pos": state["pos"] + 1,
+        }
+        return new_state, h, eos_logit
 
     # ------------------------------------------------------------------ state utils
 

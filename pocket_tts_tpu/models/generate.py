@@ -122,13 +122,19 @@ def make_segment_fn(
 
         # Phase 1: the autoregressive FlowLM scan. Only the latent feedback is
         # sequential; the vocoder is not, so it stays OUT of the scan body.
+        # The scan carry is THIN — (flow state, latent, bos flag) — because
+        # the decode step is launch-count bound (BENCHMARKS.md scan-skeleton
+        # floor): EOS/emit bookkeeping runs per frame in the reference's
+        # Python loop, but none of it feeds back into the latent recurrence,
+        # so it vectorizes over all S frames AFTER the scan (a prefix-min
+        # over the EOS flags reproduces the running eos_step exactly).
         def step(loop_carry, noise_i):
-            flow_state, c = loop_carry
+            flow_state, latent, bos = loop_carry
             flow_state, next_latent, is_eos = flow_lm.decode_step(
                 flow_params,
                 flow_state,
-                c["latent"],
-                c["is_bos"],
+                latent,
+                bos,
                 rng,  # unused: noise is pre-drawn
                 temp,
                 lsd_decode_steps,
@@ -136,23 +142,37 @@ def make_segment_fn(
                 eos_threshold,
                 noise=noise_i,
             )
-            eos_step = jnp.where(is_eos, jnp.minimum(c["eos_step"], c["step"]), c["eos_step"])
-            emit = (c["step"] < eos_step + c["frames_after_eos"]) & (c["step"] < c["max_gen"])
+            return (flow_state, next_latent, jnp.zeros_like(bos)), (
+                next_latent,
+                is_eos,
+            )
 
-            new_c = {
-                "latent": next_latent,
-                "is_bos": jnp.zeros_like(c["is_bos"]),
-                "eos_step": eos_step,
-                "step": c["step"] + 1,
-                "tick": c["tick"] + 1,
-                "frames_after_eos": c["frames_after_eos"],
-                "max_gen": c["max_gen"],
-            }
-            return (flow_state, new_c), (next_latent, emit)
-
-        (flow_state, carry), (latents, emit) = jax.lax.scan(
-            step, (flow_state, carry), noise_seq, unroll=unroll,
+        (flow_state, last_latent, _), (latents, eos_flags) = jax.lax.scan(
+            step, (flow_state, carry["latent"], carry["is_bos"]), noise_seq,
+            unroll=unroll,
         )
+
+        # Vectorized EOS bookkeeping over the whole segment ([S, B] ops once
+        # per segment instead of [B] ops per frame). The running eos_step at
+        # frame i (AFTER folding frame i's own flag, as the per-frame loop
+        # did) is the prefix-min of flagged step indices.
+        steps = carry["step"][None, :] + jnp.arange(segment_frames, dtype=jnp.int32)[:, None]
+        cand = jnp.where(eos_flags, steps, 2**30)
+        eos_step_seq = jnp.minimum(
+            carry["eos_step"][None, :], jax.lax.cummin(cand, axis=0)
+        )  # [S, B]
+        emit = (steps < eos_step_seq + carry["frames_after_eos"][None, :]) & (
+            steps < carry["max_gen"][None, :]
+        )
+        carry = {
+            "latent": last_latent,
+            "is_bos": jnp.zeros_like(jnp.asarray(carry["is_bos"])),
+            "eos_step": eos_step_seq[-1],
+            "step": carry["step"] + segment_frames,
+            "tick": carry["tick"] + segment_frames,
+            "frames_after_eos": carry["frames_after_eos"],
+            "max_gen": carry["max_gen"],
+        }
 
         # Phase 2: vocode the whole segment in one streaming chunk (16*S codec
         # positions per dispatch instead of 16).

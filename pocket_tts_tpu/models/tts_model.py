@@ -382,6 +382,7 @@ class TTSModel:
             model.params = quantize_int8(model.params)
             from pocket_tts_tpu.ops.fused_backbone import (
                 fused_backbone_enabled,
+                pack_backbone_head,
                 pack_backbone_int8,
             )
 
@@ -393,8 +394,11 @@ class TTSModel:
                 # Whole-backbone Pallas decode kernel (B=1): stash the packed
                 # uniform-chunk weight layout alongside the params so the
                 # jitted step streams it directly (ops/fused_backbone.py).
+                # The head constants (input_linear/out_norm/EOS/bos) ride
+                # along so decode_step can fold the head ops in-kernel too.
                 t = model.params["flow_lm"]["transformer"]
                 t["fused"] = pack_backbone_int8(t["layers"])
+                t["fused_head"] = pack_backbone_head(model.params["flow_lm"])
         if mesh is not None:
             from pocket_tts_tpu.parallel.mesh import shard_params
 

@@ -79,6 +79,30 @@ def fused_int8_act_enabled() -> bool:
     return env_flag("POCKET_TTS_FUSED_INT8_ACT", False)
 
 
+def fused_head_enabled() -> bool:
+    """Fold the FlowLM head (input projection, out_norm, EOS logit,
+    slot_pos append) into the megakernel (fused_backbone_step), dispatched
+    from flow_lm.decode_step. Default ON wherever the body kernel runs;
+    POCKET_TTS_FUSED_HEAD=0 falls back to the body-only kernel with the
+    head ops in XLA."""
+    return env_flag("POCKET_TTS_FUSED_HEAD", True)
+
+
+def select_modes(kv_bytes: int, capacity: int) -> tuple[str, str]:
+    """Resolve (attn_mode, block) for a capacity bucket, demoting choices
+    that would overflow the 16 MiB scoped-VMEM limit: hbatch materializes
+    f32 [H, C, d] temporaries (~4 MiB each at C=1024) past C=512, and quad's
+    8 MiB weight double-buffer plus >2 MiB of KV scratch measured 420 KiB
+    over the limit — the tri layout (6 MiB double-buffer) fits there."""
+    attn_mode = fused_attn_mode()
+    if attn_mode == "hbatch" and capacity > 512:
+        attn_mode = "vpu"
+    block = fused_block_mode()
+    if block == "quad" and kv_bytes > 2 * 1024 * 1024:
+        block = "tri"
+    return attn_mode, block
+
+
 def fused_attn_mode() -> str:
     """Attention inner-product engine for the megakernel, default "vpu":
     the per-head score/PV products are [C, d] x [d] matvecs — too thin for
@@ -190,16 +214,9 @@ def _tri_index(p):
 
 
 def _kernel(
-    qpos_ref,  # scalar prefetch: [2] int32 (absolute query position, append index)
-    # --- tensor inputs ---
-    x_ref,  # [8, E] f32 (row 0 = the token embedding; rows 1..7 zero)
-    w_ref,  # [1, 2, E, E] int8 — current weight chunk PAIR, TRANSPOSED [in, out]
-    s_ref,  # [1, 12, E] f32 — this layer's per-chunk output-channel scales
-    ln_ref,  # [1, 4, E] f32 — this layer's (ln1_w, ln1_b, ln2_w, ln2_b)
-    cf_ref,  # [1, E] f32 — cos, repeat-interleaved per pair, tiled per head
-    sf_ref,  # [1, E] f32 — sin, same layout
-    sp_ref,  # [1, C] int32 — slot positions (pre-append; -1 = invalid)
-    # 6 + 6 HBM cache refs appended by the caller (memory_space=ANY):
+    qpos_ref,  # scalar prefetch: int32 (query position, append index[, is_bos])
+    # --- tensor inputs (head mode inserts hx/win/hw before x's slot;
+    # x_ref is absent in head mode — the input projection runs in-kernel):
     *refs,
     num_layers: int,
     num_heads: int,
@@ -208,23 +225,42 @@ def _kernel(
     int8_act: bool,
     attn_mode: str,
     block: str,
+    head: bool,
 ):
+    if head:
+        # hx [8, 128] f32 (row 0 = latent zero-padded), win [128, E] f32
+        # (input_linear^T zero-padded rows), hw [8, E] f32 (head constants:
+        # out_norm w/b, eos w, eos bias, bos_emb — see pack_backbone_head).
+        hx_ref, win_ref, hw_ref = refs[:3]
+        refs = refs[3:]
+    else:
+        x_ref = refs[0]  # [8, E] f32 (row 0 = the embedded token; rows 1..7 zero)
+        refs = refs[1:]
+    # w_ref  [1, nblk, E, E] int8 — current weight block, TRANSPOSED [in, out]
+    # s_ref  [1, 12, E] f32 — this layer's per-chunk output-channel scales
+    # ln_ref [1, 4, E] f32 — this layer's (ln1_w, ln1_b, ln2_w, ln2_b)
+    # cf/sf  [1, E] f32 — rope cos/sin, repeat-interleaved, tiled per head
+    # sp_ref [1, C] int32 — slot positions (pre-append; -1 = invalid)
+    (w_ref, s_ref, ln_ref, cf_ref, sf_ref, sp_ref) = refs[:6]
+    refs = refs[6:]
     L2 = 2 * num_layers
     (k_hbm, v_hbm) = refs[:num_layers], refs[num_layers:L2]
+    n_out_head = 2 if head else 1
     y_ref = refs[L2]
+    spnew_ref = refs[L2 + 1] if head else None
     # Aliased per-layer cache outputs, blocked to the single appended row
     # (H, 1, d) whose position comes from the scalar-prefetched append
     # index — the kernel writes each layer's new (k, v) row itself; the
     # rest of the aliased buffer stays in place.
-    knew_refs = refs[L2 + 1 : L2 + 1 + num_layers]
-    vnew_refs = refs[L2 + 1 + num_layers : L2 + 1 + 2 * num_layers]
+    knew_refs = refs[L2 + n_out_head : L2 + n_out_head + num_layers]
+    vnew_refs = refs[L2 + n_out_head + num_layers : L2 + n_out_head + 2 * num_layers]
     (x_s, lnx_s, q16, k16, v16, attn16, h1_s, yacc_s, kv_k, kv_v, sem_k, sem_v) = refs[
-        L2 + 1 + 2 * num_layers :
+        L2 + n_out_head + 2 * num_layers :
     ]
 
     l = pl.program_id(0)
     p = pl.program_id(1)
-    E = x_ref.shape[1]
+    E = win_ref.shape[1] if head else x_ref.shape[1]
     H, d = num_heads, head_dim
 
     def matmul_chunk(xrow, j, srow):
@@ -270,7 +306,21 @@ def _kernel(
         # several phases of lead), then ln1.
         @pl.when(l == 0)
         def _():
-            x_s[:, :] = x_ref[:, :]
+            if head:
+                # In-kernel input projection (replaces the XLA where+linear
+                # per frame): select the latent row vs the BOS embedding (both
+                # zero-padded to 128 lanes; win's pad rows are zero too, so
+                # the pad lanes contribute nothing), then one thin matmul.
+                rows = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+                bos8 = jnp.where(rows == 0, hw_ref[5, 0:128][None, :], 0.0)
+                sel = jnp.where(qpos_ref[2] == 1, bos8, hx_ref[:, :])
+                x_s[:, :] = jnp.dot(
+                    sel.astype(jnp.bfloat16),
+                    win_ref[:, :].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                x_s[:, :] = x_ref[:, :]
             pltpu.make_async_copy(k_hbm[0], kv_k, sem_k).start()
             pltpu.make_async_copy(v_hbm[0], kv_v, sem_v).start()
 
@@ -475,7 +525,24 @@ def _kernel(
 
         @pl.when(l == num_layers - 1)
         def _():
-            y_ref[:, :] = x_s[:, :]
+            if head:
+                # In-kernel epilogue: out_norm (f32 LN, eps=1e-5 — mirrors
+                # flow_lm.decode_step), the EOS logit, and the slot_pos
+                # append — three more per-frame XLA launches folded away.
+                # y row 0 = h (post-norm); row 1 = the EOS logit broadcast
+                # across lanes (no scalar stores); rows 2..7 unread.
+                hn = _layer_norm_f32(
+                    x_s[:, :], hw_ref[0, :][None, :], hw_ref[1, :][None, :]
+                )
+                y_ref[:, :] = hn
+                y_ref[1, :] = jnp.sum(hn[0, :] * hw_ref[2, :]) + hw_ref[3, :]
+                C = sp_ref.shape[1]
+                lanes = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+                spnew_ref[0:1, :] = jnp.where(
+                    lanes == qpos_ref[1], qpos_ref[0], sp_ref[0:1, :]
+                )
+            else:
+                y_ref[:, :] = x_s[:, :]
 
     # ---- wire the bodies to grid phases for the selected block size
     if block == "pair":
@@ -615,6 +682,166 @@ def pack_backbone_int8(layers_params) -> dict:
     }
 
 
+def pack_backbone_head(flow_params) -> dict:
+    """Pack the FlowLM head weights around the backbone (input_linear,
+    out_norm, out_eos, bos_emb) into the kernel's resident-constant layout
+    (reference math: pocket_tts_mlx/models/flow_lm.py:88-116). Returns:
+      win  f32 [128, E] — input_linear^T, zero-padded rows (ldim <= 128)
+      hw   f32 [8, E]   — row 0/1 out_norm w/b, row 2 eos w, row 3 eos bias
+                          (broadcast across lanes), row 5[:ldim] bos_emb
+    ~0.5 MB total, fetched once per kernel invocation (index-constant
+    blocks) — the in-kernel head replaces the where+input-linear+out-norm+
+    eos-linear XLA launches that the scan paid per frame."""
+    w_in = flow_params["input_linear"]["weight"]  # [E, ldim]
+    E, ldim = int(w_in.shape[0]), int(w_in.shape[1])
+    if ldim > 128:
+        raise ValueError(f"fused head supports latent_dim <= 128; got {ldim}")
+    win = jnp.zeros((128, E), jnp.float32).at[:ldim].set(w_in.T.astype(jnp.float32))
+    hw = (
+        jnp.zeros((8, E), jnp.float32)
+        .at[0].set(flow_params["out_norm"]["weight"].astype(jnp.float32))
+        .at[1].set(flow_params["out_norm"]["bias"].astype(jnp.float32))
+        .at[2].set(flow_params["out_eos"]["weight"][0].astype(jnp.float32))
+        .at[3].set(jnp.full((E,), flow_params["out_eos"]["bias"][0], jnp.float32))
+        .at[5, :ldim].set(flow_params["bos_emb"].astype(jnp.float32))
+    )
+    return {"win": jax.device_put(win), "hw": jax.device_put(hw)}
+
+
+def _invoke(
+    packed,
+    head_packed,  # None -> body-only form
+    x_in,  # [8, E] f32 token row (body) | [8, 128] f32 latent row (head)
+    scalars,  # [2] (qpos, widx) | [3] (qpos, widx, is_bos)
+    k_caches,
+    v_caches,
+    slot_pos,
+    cf,
+    sf,
+    num_heads,
+    interpret,
+    int8_act,
+    attn_mode,
+    block,
+):
+    L = len(k_caches)
+    head = head_packed is not None
+    E = head_packed["win"].shape[1] if head else x_in.shape[-1]
+    H = num_heads
+    d = E // H
+    C = k_caches[0].shape[2]
+    cache_dtype = k_caches[0].dtype
+
+    kernel = functools.partial(
+        _kernel,
+        num_layers=L,
+        num_heads=H,
+        head_dim=d,
+        cache_dtype=cache_dtype,
+        int8_act=int8_act,
+        attn_mode=attn_mode,
+        block=block,
+        head=head,
+    )
+
+    nblk = {"pair": 2, "quad": 4, "tri": 3}[block]
+    blk_index = {"pair": _pair_index, "quad": _quad_index, "tri": _tri_index}[block]
+    phases = {"pair": _PAIR_PHASES, "quad": _QUAD_PHASES, "tri": _TRI_PHASES}[block]
+    head_in_specs = (
+        [
+            pl.BlockSpec((8, 128), lambda l, p, _qp: (0, 0)),  # hx
+            pl.BlockSpec((128, E), lambda l, p, _qp: (0, 0)),  # win
+            pl.BlockSpec((8, E), lambda l, p, _qp: (0, 0)),  # hw
+        ]
+        if head
+        else [pl.BlockSpec((8, E), lambda l, p, _qp: (0, 0))]  # x
+    )
+    head_out_specs = (
+        # slot_pos', fully rewritten at the last grid step (aliased)
+        [pl.BlockSpec((1, C), lambda l, p, _qp: (0, 0))] if head else []
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(L, phases),
+        in_specs=head_in_specs
+        + [
+            pl.BlockSpec((1, nblk, E, E), lambda l, p, _qp: (l, blk_index(p), 0, 0)),
+            pl.BlockSpec((1, _NCHUNK, E), lambda l, p, _qp: (l, 0, 0)),
+            pl.BlockSpec((1, 4, E), lambda l, p, _qp: (l, 0, 0)),  # ln
+            pl.BlockSpec((1, E), lambda l, p, _qp: (0, 0)),  # cf
+            pl.BlockSpec((1, E), lambda l, p, _qp: (0, 0)),  # sf
+            pl.BlockSpec((1, C), lambda l, p, _qp: (0, 0)),  # slot_pos
+        ]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * (2 * L),
+        out_specs=[pl.BlockSpec((8, E), lambda l, p, _qp: (0, 0))]  # y
+        + head_out_specs
+        # Aliased caches, blocked to the appended row: the block position
+        # comes from the scalar-prefetched append index (qw[1]).
+        + [pl.BlockSpec((H, 1, d), lambda l, p, qw: (0, qw[1], 0))] * (2 * L),
+        scratch_shapes=[
+            pltpu.VMEM((8, E), jnp.float32),  # x_s (residual stream)
+            pltpu.VMEM((8, E), jnp.float32),  # lnx_s
+            pltpu.VMEM((H, d), jnp.float32),  # q16
+            pltpu.VMEM((H, d), jnp.float32),  # k16
+            pltpu.VMEM((H, d), jnp.float32),  # v16
+            pltpu.VMEM((H, d), jnp.float32),  # attn16
+            pltpu.VMEM((8, 4 * E), jnp.bfloat16),  # h1_s (bf16: see body_ff1)
+            pltpu.VMEM((8, E), jnp.float32),  # yacc_s
+            pltpu.VMEM((H, C, d), cache_dtype),  # kv_k
+            pltpu.VMEM((H, C, d), cache_dtype),  # kv_v
+            pltpu.SemaphoreType.DMA,  # sem_k (cache read)
+            pltpu.SemaphoreType.DMA,  # sem_v
+        ],
+    )
+
+    # Operand order (scalar prefetch = 0; tensor operands from 1):
+    #   body: x(1), wchunks(2), wscales(3), ln(4), cf(5), sf(6),
+    #         slot_pos(7), k_i(8+i), v_i(8+L+i)
+    #         outputs y(0), k'_i(1+i), v'_i(1+L+i)
+    #   head: hx(1), win(2), hw(3), wchunks(4), wscales(5), ln(6), cf(7),
+    #         sf(8), slot_pos(9), k_i(10+i), v_i(10+L+i)
+    #         outputs y(0), slot_pos'(1), k'_i(2+i), v'_i(2+L+i)
+    # The caches (and in head mode slot_pos) alias in place.
+    base_in = 10 if head else 8
+    base_out = 2 if head else 1
+    aliases = {base_in + i: base_out + i for i in range(L)}
+    aliases.update({base_in + L + i: base_out + L + i for i in range(L)})
+    if head:
+        aliases[9] = 1  # slot_pos
+    head_ins = (
+        (x_in, head_packed["win"], head_packed["hw"]) if head else (x_in,)
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((8, E), jnp.float32)]
+        + ([jax.ShapeDtypeStruct((1, C), jnp.int32)] if head else [])
+        + [jax.ShapeDtypeStruct((H, C, d), cache_dtype)] * (2 * L),
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(
+        scalars,
+        *head_ins,
+        packed["wchunks"],
+        packed["wscales"],
+        packed["ln"],
+        cf,
+        sf,
+        slot_pos,
+        *[k[0] for k in k_caches],
+        *[v[0] for v in v_caches],
+    )
+    return outs
+
+
+def _rope_rows(cos, sin, H):
+    # Pair-repeat the rope angles and tile per head: lane 2i and 2i+1 of each
+    # head's d lanes carry cos_i/sin_i (matches ops/rope interleaved pairs).
+    cf = jnp.tile(jnp.repeat(cos.astype(jnp.float32), 2), H)[None, :]  # [1, E]
+    sf = jnp.tile(jnp.repeat(sin.astype(jnp.float32), 2), H)[None, :]
+    return cf, sf
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_heads", "interpret", "int8_act", "attn_mode", "block"),
@@ -635,7 +862,7 @@ def fused_backbone_decode(
     attn_mode: str = "mxu",  # "mxu" | "vpu" | "hbatch" | "skip" (profiling)
     block: str = "pair",  # "pair" | "quad" (4 MiB) | "tri" (3 MiB)
 ):
-    """Run the full backbone decode step -> (y [1, E] f32,
+    """Run the full backbone decode step (body only) -> (y [1, E] f32,
     k_caches', v_caches': L x [H, C, d] UPDATED caches, cache dtype).
 
     The kernel appends the new (k, v) row at `widx` itself, writing the
@@ -644,93 +871,74 @@ def fused_backbone_decode(
     launch-count-bound scan skeleton (BENCHMARKS.md). The caller still
     updates slot_pos (tiny per-layer arrays).
     """
-    L = len(k_caches)
     E = x.shape[-1]
-    H = num_heads
-    d = E // H
-    C = k_caches[0].shape[2]
-    cache_dtype = k_caches[0].dtype
     scalars = jnp.concatenate(
         [qpos.astype(jnp.int32), widx.astype(jnp.int32)]
     )  # [2]: (query position, append index)
-
-    # Pair-repeat the rope angles and tile per head: lane 2i and 2i+1 of each
-    # head's d lanes carry cos_i/sin_i (matches ops/rope interleaved pairs).
-    cf = jnp.tile(jnp.repeat(cos.astype(jnp.float32), 2), H)[None, :]  # [1, E]
-    sf = jnp.tile(jnp.repeat(sin.astype(jnp.float32), 2), H)[None, :]
-
+    cf, sf = _rope_rows(cos, sin, num_heads)
     x8 = jnp.zeros((8, E), jnp.float32).at[0].set(x[0].astype(jnp.float32))
-
-    kernel = functools.partial(
-        _kernel,
-        num_layers=L,
-        num_heads=H,
-        head_dim=d,
-        cache_dtype=cache_dtype,
-        int8_act=int8_act,
-        attn_mode=attn_mode,
-        block=block,
-    )
-
-    nblk = {"pair": 2, "quad": 4, "tri": 3}[block]
-    blk_index = {"pair": _pair_index, "quad": _quad_index, "tri": _tri_index}[block]
-    phases = {"pair": _PAIR_PHASES, "quad": _QUAD_PHASES, "tri": _TRI_PHASES}[block]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(L, phases),
-        in_specs=[
-            pl.BlockSpec((8, E), lambda l, p, _qp: (0, 0)),  # x
-            pl.BlockSpec((1, nblk, E, E), lambda l, p, _qp: (l, blk_index(p), 0, 0)),
-            pl.BlockSpec((1, _NCHUNK, E), lambda l, p, _qp: (l, 0, 0)),
-            pl.BlockSpec((1, 4, E), lambda l, p, _qp: (l, 0, 0)),  # ln
-            pl.BlockSpec((1, E), lambda l, p, _qp: (0, 0)),  # cf
-            pl.BlockSpec((1, E), lambda l, p, _qp: (0, 0)),  # sf
-            pl.BlockSpec((1, C), lambda l, p, _qp: (0, 0)),  # slot_pos
-        ]
-        + [pl.BlockSpec(memory_space=pl.ANY)] * (2 * L),
-        out_specs=[pl.BlockSpec((8, E), lambda l, p, _qp: (0, 0))]  # y
-        # Aliased caches, blocked to the appended row: the block position
-        # comes from the scalar-prefetched append index (qw[1]).
-        + [pl.BlockSpec((H, 1, d), lambda l, p, qw: (0, qw[1], 0))] * (2 * L),
-        scratch_shapes=[
-            pltpu.VMEM((8, E), jnp.float32),  # x_s (residual stream)
-            pltpu.VMEM((8, E), jnp.float32),  # lnx_s
-            pltpu.VMEM((H, d), jnp.float32),  # q16
-            pltpu.VMEM((H, d), jnp.float32),  # k16
-            pltpu.VMEM((H, d), jnp.float32),  # v16
-            pltpu.VMEM((H, d), jnp.float32),  # attn16
-            pltpu.VMEM((8, 4 * E), jnp.bfloat16),  # h1_s (bf16: see body_ff1)
-            pltpu.VMEM((8, E), jnp.float32),  # yacc_s
-            pltpu.VMEM((H, C, d), cache_dtype),  # kv_k
-            pltpu.VMEM((H, C, d), cache_dtype),  # kv_v
-            pltpu.SemaphoreType.DMA,  # sem_k (cache read)
-            pltpu.SemaphoreType.DMA,  # sem_v
-        ],
-    )
-
-    # Operand order: scalars(0), x8(1), wchunks(2), wscales(3), ln(4),
-    # cf(5), sf(6), slot_pos(7), k_0..k_{L-1}(8..), v_0..v_{L-1}(8+L..).
-    # Outputs: y(0), k'_0..(1..), v'_0..(1+L..). The caches alias in place.
-    aliases = {8 + i: 1 + i for i in range(L)}
-    aliases.update({8 + L + i: 1 + L + i for i in range(L)})
-    outs = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((8, E), jnp.float32)]
-        + [jax.ShapeDtypeStruct((H, C, d), cache_dtype)] * (2 * L),
-        input_output_aliases=aliases,
-        interpret=interpret,
-    )(
-        scalars,
-        x8,
-        packed["wchunks"],
-        packed["wscales"],
-        packed["ln"],
-        cf,
-        sf,
-        slot_pos,
-        *[k[0] for k in k_caches],
-        *[v[0] for v in v_caches],
+    L = len(k_caches)
+    outs = _invoke(
+        packed, None, x8, scalars, k_caches, v_caches, slot_pos, cf, sf,
+        num_heads, interpret, int8_act, attn_mode, block,
     )
     y = outs[0]
     return y[0][None, :], tuple(outs[1 : 1 + L]), tuple(outs[1 + L :])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "interpret", "int8_act", "attn_mode", "block"),
+)
+def fused_backbone_step(
+    packed: dict,
+    head_packed: dict,  # pack_backbone_head output (win, hw)
+    latent: jnp.ndarray,  # [1, ldim] f32 — previous latent (ignored at BOS)
+    is_bos: jnp.ndarray,  # [1] bool
+    k_caches: tuple,  # L x [1, H, C, d] (cache dtype)
+    v_caches: tuple,
+    slot_pos: jnp.ndarray,  # [1, C] int32 (pre-append)
+    qpos: jnp.ndarray,  # [1] int32
+    cos: jnp.ndarray,  # [d//2] f32 rope angles for qpos
+    sin: jnp.ndarray,
+    widx: jnp.ndarray,  # [1] int32 append (write) index
+    num_heads: int = 16,
+    interpret: bool = False,
+    int8_act: bool = False,
+    attn_mode: str = "mxu",
+    block: str = "pair",
+):
+    """The FULL FlowLM backbone step with the head folded in:
+    (select latent/BOS -> input_linear) -> 6 backbone layers -> out_norm ->
+    EOS logit, plus the in-kernel KV and slot_pos appends. Returns
+    (h [1, E] f32 post-out-norm, eos_logit [1] f32, k', v', slot_pos').
+
+    Replaces flow_lm.decode_step's per-frame XLA launches around the
+    backbone (where + input_linear + out_norm + eos linear + 6 slot_pos
+    updates) with in-kernel work on already-resident data — the decode scan
+    is launch-count bound (BENCHMARKS.md scan-skeleton floor), so per-frame
+    launches, not FLOPs, are the scarce resource. The flow-matching ODE
+    head stays outside (it reads ~40 MB of f32 weights; XLA streams it
+    well). Oracle path: flow_lm.decode_step (tests/test_fused_backbone.py).
+    """
+    L = len(k_caches)
+    ldim = latent.shape[-1]
+    scalars = jnp.concatenate(
+        [
+            qpos.astype(jnp.int32),
+            widx.astype(jnp.int32),
+            is_bos.astype(jnp.int32),
+        ]
+    )  # [3]: (query position, append index, is_bos)
+    cf, sf = _rope_rows(cos, sin, num_heads)
+    hx = jnp.zeros((8, 128), jnp.float32).at[0, :ldim].set(
+        latent[0].astype(jnp.float32)
+    )
+    outs = _invoke(
+        packed, head_packed, hx, scalars, k_caches, v_caches, slot_pos, cf, sf,
+        num_heads, interpret, int8_act, attn_mode, block,
+    )
+    y, spnew = outs[0], outs[1]
+    h = y[0][None, :]
+    eos_logit = y[1, 0][None]
+    return h, eos_logit, tuple(outs[2 : 2 + L]), tuple(outs[2 + L :]), spnew

@@ -241,28 +241,16 @@ class StreamingTransformer:
         from jax import lax
 
         from pocket_tts_tpu.ops.fused_backbone import (
-            fused_attn_mode,
             fused_backbone_decode,
-            fused_block_mode,
             fused_int8_act_enabled,
+            select_modes,
         )
 
         cos, sin = rope_cache  # [1, 1, 1, d/2]
         layers = state["layers"]
-        attn_mode = fused_attn_mode()
-        if attn_mode == "hbatch" and layers[0]["k"].shape[2] > 512:
-            # hbatch materializes f32 [H, C, d] temporaries (~4 MiB each at
-            # C=1024) and blows the 16 MiB scoped-VMEM limit past C=512.
-            attn_mode = "vpu"
-        block = fused_block_mode()
         k0 = layers[0]["k"]
         kv_bytes = 2 * k0.shape[1] * k0.shape[2] * k0.shape[3] * k0.dtype.itemsize
-        if block == "quad" and kv_bytes > 2 * 1024 * 1024:
-            # quad doubles the weight double-buffer (4 -> 8 MiB); with 4 MiB
-            # of KV scratch (C=1024 bf16) the kernel measures 16.41 MiB of
-            # scoped VMEM — 420 KiB over the 16 MiB limit. The tri layout
-            # (3 MiB blocks, 6 MiB double-buffer) fits those buckets.
-            block = "tri"
+        attn_mode, block = select_modes(kv_bytes, k0.shape[2])
         # The kernel appends the new (k, v) row at widx itself (aliased
         # cache outputs + in-kernel DMA): the 12 per-frame
         # dynamic_update_slice launches this loop used to issue were a

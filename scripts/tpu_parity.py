@@ -114,6 +114,107 @@ def run_variant(t, qparams, packed, state0, steps, attn_mode, block, atol):
     return worst, None
 
 
+def build_head_params():
+    ldim = 32
+    ks = jax.random.split(jax.random.PRNGKey(7), 5)
+    return {
+        "input_linear": {
+            "weight": jax.random.normal(ks[0], (E, ldim), jnp.float32) * 0.1
+        },
+        "out_norm": {
+            "weight": 1.0 + 0.1 * jax.random.normal(ks[1], (E,), jnp.float32),
+            "bias": 0.1 * jax.random.normal(ks[2], (E,), jnp.float32),
+        },
+        "out_eos": {
+            "weight": jax.random.normal(ks[3], (1, E), jnp.float32) * 0.03,
+            "bias": jnp.full((1,), 0.25, jnp.float32),
+        },
+        "bos_emb": jax.random.normal(ks[4], (ldim,), jnp.float32),
+    }
+
+
+def run_head_variant(t, qparams, packed, state0, steps, attn_mode, block, atol):
+    """Compiled head-folded step (fused_backbone_step) vs the XLA head math
+    around the oracle transformer, with each path carrying its own caches."""
+    from pocket_tts_tpu.ops.fused_backbone import (
+        fused_backbone_step,
+        pack_backbone_head,
+    )
+    from pocket_tts_tpu.ops.linear import linear
+    from pocket_tts_tpu.ops.norms import layer_norm
+    from pocket_tts_tpu.ops.rope import rope_angles
+
+    hp = build_head_params()
+    head_packed = pack_backbone_head(hp)
+
+    @jax.jit
+    def oracle_step(latent, is_bos, state, positions):
+        seq = jnp.where(is_bos[:, None], hp["bos_emb"][None, :], latent)
+        x = linear(seq[:, None, :], hp["input_linear"]["weight"])
+        h, st = t(qparams, x, state, positions)
+        h = layer_norm(
+            h, hp["out_norm"]["weight"], hp["out_norm"]["bias"], eps=1e-5
+        ).astype(jnp.float32)[:, -1]
+        eos = linear(h, hp["out_eos"]["weight"], hp["out_eos"]["bias"])[:, 0]
+        return h, eos, st
+
+    @jax.jit
+    def kernel_step(latent, is_bos, state, positions):
+        cos, sin = rope_angles(positions, E // H)
+        widx = state["widx"]
+        layers = state["layers"]
+        h, eos, new_ks, new_vs, spnew = fused_backbone_step(
+            packed,
+            head_packed,
+            latent,
+            is_bos,
+            tuple(l["k"] for l in layers),
+            tuple(l["v"] for l in layers),
+            layers[0]["slot_pos"],
+            positions[:, 0],
+            cos[0, 0, 0],
+            sin[0, 0, 0],
+            jnp.reshape(widx, (1,)).astype(jnp.int32),
+            num_heads=H,
+            attn_mode=attn_mode,
+            block=block,
+        )
+        new_layers = [
+            {"k": new_ks[i][None], "v": new_vs[i][None], "slot_pos": spnew}
+            for i in range(L)
+        ]
+        return h, eos, {"layers": new_layers, "widx": widx + 1}
+
+    s_ref, s_ker = state0, state0
+    worst = 0.0
+    for step in range(steps):
+        latent = jax.random.normal(jax.random.PRNGKey(300 + step), (1, 32), jnp.float32)
+        is_bos = jnp.full((1,), step == 0, jnp.bool_)
+        positions = jnp.full((1, 1), 17 + step, jnp.int32)
+        rh, re, s_ref = oracle_step(latent, is_bos, s_ref, positions)
+        kh, ke, s_ker = kernel_step(latent, is_bos, s_ker, positions)
+        err = max(
+            float(np.abs(np.asarray(kh[0]) - np.asarray(rh[0])).max()),
+            float(np.abs(np.asarray(ke) - np.asarray(re)).max()),
+        )
+        worst = max(worst, err)
+        if err > atol:
+            return worst, f"step {step}: head output diverged (max|diff|={err:.5f})"
+    for i in range(L):
+        for key in ("k", "v"):
+            a = np.asarray(s_ker["layers"][i][key], np.float32)
+            b = np.asarray(s_ref["layers"][i][key], np.float32)
+            err = float(np.abs(a - b).max())
+            worst = max(worst, err)
+            if err > atol:
+                return worst, f"layer {i} cache {key} diverged (max|diff|={err:.5f})"
+        spk = np.asarray(s_ker["layers"][i]["slot_pos"])
+        spr = np.asarray(s_ref["layers"][i]["slot_pos"])
+        if not np.array_equal(spk, spr):
+            return worst, f"layer {i} slot_pos diverged"
+    return worst, None
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=8)
@@ -138,6 +239,14 @@ def main() -> None:
             tag = "FAIL " + fail if fail else "ok"
             print(f"C={C:5d} {attn_mode:7s} {block:5s} worst={worst:.5f}  {tag}", flush=True)
             failures += bool(fail)
+        # The head-folded production step (decode_step dispatch).
+        hblock = "quad" if C <= 512 else "tri"
+        worst, fail = run_head_variant(
+            t, qparams, packed, state, args.steps, "vpu", hblock, args.atol
+        )
+        tag = "FAIL " + fail if fail else "ok"
+        print(f"C={C:5d} head:vpu {hblock:5s} worst={worst:.5f}  {tag}", flush=True)
+        failures += bool(fail)
     print("PARITY OK" if not failures else f"PARITY FAIL ({failures} variants)")
     sys.exit(1 if failures else 0)
 

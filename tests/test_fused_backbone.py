@@ -219,3 +219,95 @@ def test_vpu_attention_bitwise_matches_mxu(setup):
     np.testing.assert_array_equal(np.asarray(y_mxu), np.asarray(y_vpu))
     np.testing.assert_array_equal(np.asarray(k_m), np.asarray(k_v))
     np.testing.assert_array_equal(np.asarray(v_m), np.asarray(v_v))
+
+
+@pytest.mark.parametrize("bos", [False, True])
+@pytest.mark.parametrize("block", ["quad", "tri"])
+def test_fused_step_matches_head_oracle(setup, bos, block):
+    """The head-folded kernel (fused_backbone_step: latent/BOS select ->
+    input_linear -> backbone -> out_norm -> EOS logit, plus the in-kernel
+    slot_pos append) matches the XLA head math from flow_lm.decode_step
+    (models/flow_lm.py:186-198)."""
+    from pocket_tts_tpu.ops.fused_backbone import (
+        fused_backbone_step,
+        pack_backbone_head,
+    )
+    from pocket_tts_tpu.ops.linear import linear
+    from pocket_tts_tpu.ops.norms import layer_norm
+    from pocket_tts_tpu.ops.rope import rope_angles
+
+    t, qparams, packed, state = setup
+    ldim = 32
+    key = jax.random.PRNGKey(11)
+    ks = jax.random.split(key, 5)
+    flow_params = {
+        "input_linear": {
+            "weight": jax.random.normal(ks[0], (E, ldim), jnp.float32) * 0.1
+        },
+        "out_norm": {
+            "weight": 1.0 + 0.1 * jax.random.normal(ks[1], (E,), jnp.float32),
+            "bias": 0.1 * jax.random.normal(ks[2], (E,), jnp.float32),
+        },
+        "out_eos": {
+            "weight": jax.random.normal(ks[3], (1, E), jnp.float32) * 0.03,
+            "bias": jnp.full((1,), 0.25, jnp.float32),
+        },
+        "bos_emb": jax.random.normal(ks[4], (ldim,), jnp.float32),
+    }
+    head_packed = pack_backbone_head(flow_params)
+    latent = jax.random.normal(jax.random.PRNGKey(12), (1, ldim), jnp.float32)
+    is_bos = jnp.full((1,), bos, jnp.bool_)
+    positions = jnp.full((1, 1), 17, jnp.int32)
+
+    # Oracle: the decode_step head math around the oracle transformer.
+    seq = jnp.where(is_bos[:, None], flow_params["bos_emb"][None, :], latent)
+    x = linear(seq[:, None, :], flow_params["input_linear"]["weight"])
+    ref_h, ref_state = t(qparams, x, state, positions)
+    ref_h = layer_norm(
+        ref_h, flow_params["out_norm"]["weight"], flow_params["out_norm"]["bias"],
+        eps=1e-5,
+    ).astype(jnp.float32)[:, -1]
+    ref_eos = linear(
+        ref_h, flow_params["out_eos"]["weight"], flow_params["out_eos"]["bias"]
+    )[:, 0]
+
+    widx = int(state["widx"])
+    cos, sin = rope_angles(positions, E // H)
+    h, eos_logit, new_ks, new_vs, spnew = fused_backbone_step(
+        packed,
+        head_packed,
+        latent,
+        is_bos,
+        tuple(l["k"] for l in state["layers"]),
+        tuple(l["v"] for l in state["layers"]),
+        state["layers"][0]["slot_pos"],
+        positions[:, 0],
+        cos[0, 0, 0],
+        sin[0, 0, 0],
+        jnp.full((1,), widx, jnp.int32),
+        num_heads=H,
+        interpret=True,
+        attn_mode="vpu",
+        block=block,
+    )
+    np.testing.assert_allclose(
+        np.asarray(h[0]), np.asarray(ref_h[0]), rtol=0, atol=2e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(eos_logit), np.asarray(ref_eos), rtol=0, atol=2e-2
+    )
+    # Full updated caches and the appended slot position.
+    for i in range(L):
+        np.testing.assert_allclose(
+            np.asarray(new_ks[i], np.float32),
+            np.asarray(ref_state["layers"][i]["k"][0], np.float32),
+            atol=2e-2,
+        )
+        np.testing.assert_allclose(
+            np.asarray(new_vs[i], np.float32),
+            np.asarray(ref_state["layers"][i]["v"][0], np.float32),
+            atol=2e-2,
+        )
+    np.testing.assert_array_equal(
+        np.asarray(spnew), np.asarray(ref_state["layers"][0]["slot_pos"])
+    )
