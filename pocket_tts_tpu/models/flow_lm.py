@@ -255,6 +255,7 @@ class FlowLMModel:
         from pocket_tts_tpu.ops.fused_backbone import (
             fused_backbone_step,
             fused_int8_act_enabled,
+            fused_interpret_enabled,
             select_modes,
         )
         from pocket_tts_tpu.ops.rope import rope_angles
@@ -286,6 +287,7 @@ class FlowLMModel:
             sin[0, 0, 0],
             jnp.reshape(widx, (1,)).astype(jnp.int32),
             num_heads=tcfg.num_heads,
+            interpret=fused_interpret_enabled(),
             int8_act=fused_int8_act_enabled(),
             attn_mode=attn_mode,
             block=block,

@@ -88,6 +88,14 @@ def fused_head_enabled() -> bool:
     return env_flag("POCKET_TTS_FUSED_HEAD", True)
 
 
+def fused_interpret_enabled() -> bool:
+    """Run the dispatched megakernel in Pallas interpret mode — lets CPU
+    tests drive the PRODUCTION dispatch path (flow_lm.decode_step ->
+    fused_backbone_step) end to end, wiring included, without a TPU.
+    POCKET_TTS_FUSED_INTERPRET=1; default off (never set in serving)."""
+    return env_flag("POCKET_TTS_FUSED_INTERPRET", False)
+
+
 def select_modes(kv_bytes: int, capacity: int) -> tuple[str, str]:
     """Resolve (attn_mode, block) for a capacity bucket, demoting choices
     that would overflow the 16 MiB scoped-VMEM limit: hbatch materializes

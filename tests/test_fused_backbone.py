@@ -311,3 +311,81 @@ def test_fused_step_matches_head_oracle(setup, bos, block):
     np.testing.assert_array_equal(
         np.asarray(spnew), np.asarray(ref_state["layers"][0]["slot_pos"])
     )
+
+
+def test_decode_step_fused_dispatch_matches_xla(monkeypatch):
+    """The PRODUCTION dispatch path — flow_lm.decode_step routing through
+    the head-folded kernel (POCKET_TTS_FUSED_INTERPRET drives it in Pallas
+    interpret mode on CPU) — matches the XLA decode_step over consecutive
+    steps: latents, EOS, positions, caches, and the shared slot_pos."""
+    from pocket_tts_tpu.config.schema import FlowLMConfig
+    from pocket_tts_tpu.models.flow_lm import FlowLMModel
+    from pocket_tts_tpu.ops.fused_backbone import (
+        pack_backbone_head,
+        pack_backbone_int8,
+    )
+    from pocket_tts_tpu.ops.sampling import sample_noise
+
+    cfg = FlowLMConfig(
+        dtype="float32",
+        flow={"depth": 1, "dim": 64},
+        transformer={
+            "d_model": E,
+            "hidden_scale": 4,
+            "max_period": 10000,
+            "num_heads": H,
+            "num_layers": L,
+        },
+        lookup_table={
+            "dim": E,
+            "n_bins": 100,
+            "tokenizer": "sentencepiece",
+            "tokenizer_path": "unavailable://",
+        },
+    )
+    flow_lm = FlowLMModel(config=cfg, latent_dim=32)
+    params = flow_lm.init_params(jax.random.PRNGKey(0))
+    q = quantize_int8({"flow_lm": params}, subtrees=("transformer",))["flow_lm"]
+    state0 = flow_lm.init_state(1, C, dtype=jnp.bfloat16)
+    emb = jax.random.normal(jax.random.PRNGKey(1), (1, 9, E), jnp.float32) * 0.3
+    state0 = flow_lm.prefill(q, state0, emb, jnp.full((1,), 9, jnp.int32))
+
+    fused_params = dict(q)
+    fused_params["transformer"] = dict(q["transformer"])
+    fused_params["transformer"]["fused"] = pack_backbone_int8(
+        q["transformer"]["layers"]
+    )
+    fused_params["transformer"]["fused_head"] = pack_backbone_head(q)
+    monkeypatch.setenv("POCKET_TTS_FUSED_INTERPRET", "1")
+    assert flow_lm._fused_step_ok(fused_params, state0, 1)
+    assert not flow_lm._fused_step_ok(q, state0, 1)  # no packed weights -> XLA
+
+    rng = jax.random.PRNGKey(3)
+    s_ref, s_fus = state0, state0
+    latent_ref = latent_fus = jnp.zeros((1, 32), jnp.float32)
+    for step in range(3):
+        is_bos = jnp.full((1,), step == 0, jnp.bool_)
+        noise = sample_noise(jax.random.fold_in(rng, step), (1, 32), 0.7, None)
+        s_ref, latent_ref, eos_ref = flow_lm.decode_step(
+            q, s_ref, latent_ref, is_bos, rng, 0.7, 1, None, 1e9, noise=noise
+        )
+        s_fus, latent_fus, eos_fus = flow_lm.decode_step(
+            fused_params, s_fus, latent_fus, is_bos, rng, 0.7, 1, None, 1e9,
+            noise=noise,
+        )
+        np.testing.assert_allclose(
+            np.asarray(latent_fus), np.asarray(latent_ref), rtol=0, atol=2e-2
+        )
+        np.testing.assert_array_equal(np.asarray(eos_fus), np.asarray(eos_ref))
+    np.testing.assert_array_equal(np.asarray(s_fus["pos"]), np.asarray(s_ref["pos"]))
+    assert int(s_fus["transformer"]["widx"]) == int(s_ref["transformer"]["widx"])
+    for i in range(L):
+        np.testing.assert_array_equal(
+            np.asarray(s_fus["transformer"]["layers"][i]["slot_pos"]),
+            np.asarray(s_ref["transformer"]["layers"][i]["slot_pos"]),
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_fus["transformer"]["layers"][i]["k"], np.float32),
+            np.asarray(s_ref["transformer"]["layers"][i]["k"], np.float32),
+            atol=2e-2,
+        )
