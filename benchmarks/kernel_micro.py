@@ -144,8 +144,10 @@ def main() -> None:
             flush=True,
         )
 
-    # The head-folded production step at this bucket's shipped config.
-    hblock = "quad" if C <= 512 else "tri"
+    # The head-folded production step at this bucket's shipped config
+    # (select_modes: quad <=512, pair past — tri has no VMEM headroom for
+    # the resident head blocks).
+    hblock = "quad" if C <= 512 else "pair"
     f = make_head("vpu", hblock)
     lat0 = jax.random.normal(jax.random.PRNGKey(5), (1, 32), jnp.float32)
     f(lat0).block_until_ready()

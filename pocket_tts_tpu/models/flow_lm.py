@@ -273,7 +273,7 @@ class FlowLMModel:
         )
         k0 = layers[0]["k"]
         kv_bytes = 2 * k0.shape[1] * k0.shape[2] * k0.shape[3] * k0.dtype.itemsize
-        attn_mode, block = select_modes(kv_bytes, k0.shape[2])
+        attn_mode, block = select_modes(kv_bytes, k0.shape[2], head=True)
         h, eos_logit, new_ks, new_vs, spnew = fused_backbone_step(
             t_params["fused"],
             t_params["fused_head"],

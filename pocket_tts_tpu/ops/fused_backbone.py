@@ -96,18 +96,25 @@ def fused_interpret_enabled() -> bool:
     return env_flag("POCKET_TTS_FUSED_INTERPRET", False)
 
 
-def select_modes(kv_bytes: int, capacity: int) -> tuple[str, str]:
+def select_modes(kv_bytes: int, capacity: int, head: bool = False) -> tuple[str, str]:
     """Resolve (attn_mode, block) for a capacity bucket, demoting choices
     that would overflow the 16 MiB scoped-VMEM limit: hbatch materializes
     f32 [H, C, d] temporaries (~4 MiB each at C=1024) past C=512, and quad's
     8 MiB weight double-buffer plus >2 MiB of KV scratch measured 420 KiB
-    over the limit — the tri layout (6 MiB double-buffer) fits there."""
+    over the limit — the tri layout (6 MiB double-buffer) fits there.
+
+    head mode adds ~0.4 MB of resident blocks (win/hw/hx + the slot_pos
+    output); tri at C=1024 measured within ~60 KiB of the limit WITHOUT
+    them, so head demotes past-512 buckets to pair (4 MiB double-buffer,
+    ~2 MiB more headroom than tri) instead."""
     attn_mode = fused_attn_mode()
     if attn_mode == "hbatch" and capacity > 512:
         attn_mode = "vpu"
     block = fused_block_mode()
     if block == "quad" and kv_bytes > 2 * 1024 * 1024:
-        block = "tri"
+        block = "pair" if head else "tri"
+    if head and block == "tri" and kv_bytes > 2 * 1024 * 1024:
+        block = "pair"
     return attn_mode, block
 
 
@@ -236,7 +243,7 @@ def _kernel(
     head: bool,
 ):
     if head:
-        # hx [8, 128] f32 (row 0 = latent zero-padded), win [128, E] f32
+        # hx [8, 128] f32 (row 0 = latent zero-padded), win [128, E] bf16
         # (input_linear^T zero-padded rows), hw [8, E] f32 (head constants:
         # out_norm w/b, eos w, eos bias, bos_emb — see pack_backbone_head).
         hx_ref, win_ref, hw_ref = refs[:3]
@@ -324,7 +331,7 @@ def _kernel(
                 sel = jnp.where(qpos_ref[2] == 1, bos8, hx_ref[:, :])
                 x_s[:, :] = jnp.dot(
                     sel.astype(jnp.bfloat16),
-                    win_ref[:, :].astype(jnp.bfloat16),
+                    win_ref[:, :],  # stored bf16 (pack_backbone_head)
                     preferred_element_type=jnp.float32,
                 )
             else:
@@ -694,7 +701,7 @@ def pack_backbone_head(flow_params) -> dict:
     """Pack the FlowLM head weights around the backbone (input_linear,
     out_norm, out_eos, bos_emb) into the kernel's resident-constant layout
     (reference math: pocket_tts_mlx/models/flow_lm.py:88-116). Returns:
-      win  f32 [128, E] — input_linear^T, zero-padded rows (ldim <= 128)
+      win  bf16 [128, E] — input_linear^T, zero-padded rows (ldim <= 128)
       hw   f32 [8, E]   — row 0/1 out_norm w/b, row 2 eos w, row 3 eos bias
                           (broadcast across lanes), row 5[:ldim] bos_emb
     ~0.5 MB total, fetched once per kernel invocation (index-constant
@@ -704,7 +711,13 @@ def pack_backbone_head(flow_params) -> dict:
     E, ldim = int(w_in.shape[0]), int(w_in.shape[1])
     if ldim > 128:
         raise ValueError(f"fused head supports latent_dim <= 128; got {ldim}")
-    win = jnp.zeros((128, E), jnp.float32).at[:ldim].set(w_in.T.astype(jnp.float32))
+    # bf16 storage: the in-kernel matmul consumes bf16 operands anyway, so
+    # rounding at pack time is bitwise-identical to rounding at the matmul —
+    # and it halves the largest resident head block (VMEM headroom at the
+    # big capacity buckets is measured in tens of KiB).
+    win = jnp.zeros((128, E), jnp.bfloat16).at[:ldim].set(
+        w_in.T.astype(jnp.float32).astype(jnp.bfloat16)
+    )
     hw = (
         jnp.zeros((8, E), jnp.float32)
         .at[0].set(flow_params["out_norm"]["weight"].astype(jnp.float32))

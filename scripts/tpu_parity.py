@@ -239,8 +239,10 @@ def main() -> None:
             tag = "FAIL " + fail if fail else "ok"
             print(f"C={C:5d} {attn_mode:7s} {block:5s} worst={worst:.5f}  {tag}", flush=True)
             failures += bool(fail)
-        # The head-folded production step (decode_step dispatch).
-        hblock = "quad" if C <= 512 else "tri"
+        # The head-folded production step (decode_step dispatch:
+        # select_modes demotes head mode to pair past C=512 — tri has no
+        # VMEM headroom left for the resident head blocks).
+        hblock = "quad" if C <= 512 else "pair"
         worst, fail = run_head_variant(
             t, qparams, packed, state, args.steps, "vpu", hblock, args.atol
         )
