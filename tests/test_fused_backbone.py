@@ -222,7 +222,9 @@ def test_vpu_attention_bitwise_matches_mxu(setup):
 
 
 @pytest.mark.parametrize("bos", [False, True])
-@pytest.mark.parametrize("block", ["quad", "tri"])
+# quad is the C<=512 production default; pair is what select_modes ships
+# for head mode past C=512; tri pins the opt-in form.
+@pytest.mark.parametrize("block", ["quad", "pair", "tri"])
 def test_fused_step_matches_head_oracle(setup, bos, block):
     """The head-folded kernel (fused_backbone_step: latent/BOS select ->
     input_linear -> backbone -> out_norm -> EOS logit, plus the in-kernel
