@@ -1,0 +1,29 @@
+#!/usr/bin/env bash
+# One relay window -> all on-device artifacts. The axon relay comes and goes;
+# when it answers, this captures (in dependency order, cheapest first):
+#   1. compiled-kernel parity (scripts/tpu_parity.py — hard gate)
+#   2. per-frame ablation at the two serving buckets (benchmarks/ablate.py)
+#   3. kernel microbenchmark variants (benchmarks/kernel_micro.py)
+#   4. the headline bench (bench.py)
+# Outputs land in measurements/<UTC stamp>/ as separate logs.
+set -u
+cd "$(dirname "$0")/.."
+stamp=$(date -u +%Y%m%dT%H%M%S)
+out="measurements/$stamp"
+mkdir -p "$out"
+echo "writing to $out"
+
+run() {
+  name=$1; shift
+  echo "=== $name: $*"
+  timeout "${MEASURE_TIMEOUT:-1200}" "$@" 2>&1 | tee "$out/$name.log"
+  echo "exit=$? (see $out/$name.log)"
+}
+
+run parity      python scripts/tpu_parity.py --steps 6
+run ablate_512  python benchmarks/ablate.py --capacity 512
+run ablate_1024 python benchmarks/ablate.py --capacity 1024
+run micro_512   python benchmarks/kernel_micro.py --capacity 512
+run micro_1024  python benchmarks/kernel_micro.py --capacity 1024
+run bench       python bench.py
+echo "done: $out"
