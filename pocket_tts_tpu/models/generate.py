@@ -81,6 +81,85 @@ def initial_carry(flow_lm: FlowLMModel, batch: int, frames_after_eos, max_gen) -
     }
 
 
+def _segment_kernel_ok(flow_lm, flow_params, flow_state, B, lsd_decode_steps) -> bool:
+    """Static dispatch test for the whole-segment kernel: B=1 with every
+    packed layout present (load_model packs them on TPU only), a 1-step
+    Euler schedule (the packing bakes the timestep embeddings for it), and
+    a capacity bucket whose KV scratch fits next to the pair weight
+    double-buffer AND the flow chunk double-buffer (~4 MiB each)."""
+    from pocket_tts_tpu.ops.fused_segment import fused_segment_enabled
+
+    t = flow_params["transformer"]
+    if not (
+        B == 1
+        and lsd_decode_steps == 1
+        and isinstance(t, dict)
+        and "fused" in t
+        and "fused_head" in t
+        and "fused_segment" in t
+        and fused_segment_enabled()
+    ):
+        return False
+    k = flow_state["transformer"]["layers"][0]["k"]
+    kv_bytes = 2 * k.shape[1] * k.shape[2] * k.shape[3] * k.dtype.itemsize
+    return kv_bytes <= 4 * 1024 * 1024
+
+
+def _segment_kernel_call(flow_lm, flow_params, flow_state, carry, noise_seq, eos_threshold):
+    """Run one segment through fused_segment_decode and mirror the scan's
+    return contract: (flow_state', last_latent, latents [S, 1, ldim],
+    eos_flags [S, 1])."""
+    from pocket_tts_tpu.ops.fused_backbone import fused_interpret_enabled
+    from pocket_tts_tpu.ops.fused_segment import fused_segment_decode
+    from pocket_tts_tpu.ops.rope import rope_angles
+
+    t = flow_params["transformer"]
+    tstate = flow_state["transformer"]
+    layers = tstate["layers"]
+    S = noise_seq.shape[0]
+    tcfg = flow_lm.config.transformer
+    positions = (
+        flow_state["pos"][0] + jnp.arange(S, dtype=jnp.int32)
+    )[None, :]
+    cos, sin = rope_angles(
+        jnp.maximum(positions, 0),
+        tcfg.d_model // tcfg.num_heads,
+        float(tcfg.max_period),
+    )
+    latents, eos_logits, new_ks, new_vs, spnew = fused_segment_decode(
+        t["fused"],
+        t["fused_head"],
+        t["fused_segment"],
+        carry["latent"],
+        jnp.asarray(carry["is_bos"]),
+        noise_seq[:, 0, :],
+        tuple(l["k"] for l in layers),
+        tuple(l["v"] for l in layers),
+        layers[0]["slot_pos"],
+        flow_state["pos"].astype(jnp.int32),
+        jnp.reshape(tstate["widx"], (1,)).astype(jnp.int32),
+        cos[0, :, 0],
+        sin[0, :, 0],
+        num_heads=tcfg.num_heads,
+        interpret=fused_interpret_enabled(),
+        seg_frames=S,
+    )
+    new_layers = [
+        {"k": new_ks[i][None], "v": new_vs[i][None], "slot_pos": spnew}
+        for i in range(len(layers))
+    ]
+    new_flow_state = {
+        "transformer": {"layers": new_layers, "widx": tstate["widx"] + S},
+        "pos": flow_state["pos"] + S,
+    }
+    return (
+        new_flow_state,
+        latents[-1:],  # [1, ldim] — the carry latent for the next segment
+        latents[:, None, :],  # [S, 1, ldim]
+        (eos_logits > eos_threshold)[:, None],  # [S, 1]
+    )
+
+
 def make_segment_fn(
     flow_lm: FlowLMModel,
     mimi: MimiModel,
@@ -147,10 +226,18 @@ def make_segment_fn(
                 is_eos,
             )
 
-        (flow_state, last_latent, _), (latents, eos_flags) = jax.lax.scan(
-            step, (flow_state, carry["latent"], carry["is_bos"]), noise_seq,
-            unroll=unroll,
-        )
+        if _segment_kernel_ok(flow_lm, flow_params, flow_state, B, lsd_decode_steps):
+            # Whole-segment Mosaic kernel (ops/fused_segment.py, opt-in):
+            # ALL S frames — input proj, backbone, head, flow ODE, KV/slot
+            # appends — in one program; no per-frame launches at all.
+            flow_state, last_latent, latents, eos_flags = _segment_kernel_call(
+                flow_lm, flow_params, flow_state, carry, noise_seq, eos_threshold
+            )
+        else:
+            (flow_state, last_latent, _), (latents, eos_flags) = jax.lax.scan(
+                step, (flow_state, carry["latent"], carry["is_bos"]), noise_seq,
+                unroll=unroll,
+            )
 
         # Vectorized EOS bookkeeping over the whole segment ([S, B] ops once
         # per segment instead of [B] ops per frame). The running eos_step at

@@ -399,6 +399,17 @@ class TTSModel:
                 t = model.params["flow_lm"]["transformer"]
                 t["fused"] = pack_backbone_int8(t["layers"])
                 t["fused_head"] = pack_backbone_head(model.params["flow_lm"])
+                try:
+                    from pocket_tts_tpu.ops.fused_segment import pack_flow_bf16
+
+                    # Whole-segment kernel chunks (opt-in dispatch —
+                    # POCKET_TTS_FUSED_SEGMENT=1; see ops/fused_segment.py).
+                    t["fused_segment"] = pack_flow_bf16(
+                        model.params["flow_lm"],
+                        model.params["flow_lm"]["flow_net"],
+                    )
+                except ValueError:
+                    pass  # non-b6369a24 flow geometry: scan path only
         if mesh is not None:
             from pocket_tts_tpu.parallel.mesh import shard_params
 
