@@ -26,4 +26,8 @@ run ablate_1024 python benchmarks/ablate.py --capacity 1024
 run micro_512   python benchmarks/kernel_micro.py --capacity 512
 run micro_1024  python benchmarks/kernel_micro.py --capacity 1024
 run bench       python bench.py
+# A/B: the whole-segment kernel (opt-in, routes through the production
+# make_segment_fn dispatch — bench.py exercises it; ablate.py builds its
+# own stubbed segment and would not).
+run bench_seg env POCKET_TTS_FUSED_SEGMENT=1 python bench.py
 echo "done: $out"
