@@ -67,7 +67,7 @@ def main() -> None:
     q = quantize_int8({"flow_lm": params}, subtrees=("transformer",))["flow_lm"]
     packed = pack_backbone_int8(q["transformer"]["layers"])
     head_packed = pack_backbone_head(q)
-    flow_packed = pack_flow_bf16(q, q["flow_net"])
+    flow_packed = pack_flow_bf16(q["flow_net"])
 
     ks = tuple(
         jax.device_put(

@@ -86,7 +86,13 @@ def _segment_kernel_ok(flow_lm, flow_params, flow_state, B, lsd_decode_steps) ->
     packed layout present (load_model packs them on TPU only), a 1-step
     Euler schedule (the packing bakes the timestep embeddings for it), and
     a capacity bucket whose KV scratch fits next to the pair weight
-    double-buffer AND the flow chunk double-buffer (~4 MiB each)."""
+    double-buffer AND the flow chunk double-buffer (~4 MiB each).
+
+    widx0 + S <= C is the CALLER's contract (data, not shape — it cannot be
+    checked here): TTSModel budgets capacity for the whole dispatch
+    schedule before generating. On violation the kernel clamps writes to
+    the last row — the same degraded behavior the scan path's
+    dynamic_update_slice clamp produces."""
     from pocket_tts_tpu.ops.fused_segment import fused_segment_enabled
 
     t = flow_params["transformer"]

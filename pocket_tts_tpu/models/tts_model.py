@@ -405,11 +405,12 @@ class TTSModel:
                     # Whole-segment kernel chunks (opt-in dispatch —
                     # POCKET_TTS_FUSED_SEGMENT=1; see ops/fused_segment.py).
                     t["fused_segment"] = pack_flow_bf16(
-                        model.params["flow_lm"],
-                        model.params["flow_lm"]["flow_net"],
+                        model.params["flow_lm"]["flow_net"]
                     )
-                except ValueError:
-                    pass  # non-b6369a24 flow geometry: scan path only
+                except ValueError as e:
+                    # Named so an opted-in POCKET_TTS_FUSED_SEGMENT=1 run
+                    # can't silently benchmark the scan path instead.
+                    logger.warning("whole-segment kernel unavailable: %s", e)
         if mesh is not None:
             from pocket_tts_tpu.parallel.mesh import shard_params
 

@@ -876,7 +876,7 @@ def fused_backbone_decode(
     qpos: jnp.ndarray,  # [1] int32
     cos: jnp.ndarray,  # [d//2] f32 rope angles for qpos
     sin: jnp.ndarray,
-    widx: jnp.ndarray = None,  # [1] int32 append (write) index
+    widx: jnp.ndarray = None,  # [1] int32 append (write) index — REQUIRED
     num_heads: int = 16,
     interpret: bool = False,
     int8_act: bool = False,
@@ -892,9 +892,16 @@ def fused_backbone_decode(
     launch-count-bound scan skeleton (BENCHMARKS.md). The caller still
     updates slot_pos (tiny per-layer arrays).
     """
+    if widx is None:  # keyword-style call sites; fail clearly, not inside jit
+        raise TypeError("fused_backbone_decode requires widx (append index)")
     E = x.shape[-1]
+    C = k_caches[0].shape[2]
+    # Clamp like the dynamic_update_slice this append replaced: an
+    # out-of-range block offset on the aliased cache output would address
+    # past the buffer instead of clamping to the last row.
+    widx = jnp.minimum(widx.astype(jnp.int32), C - 1)
     scalars = jnp.concatenate(
-        [qpos.astype(jnp.int32), widx.astype(jnp.int32)]
+        [qpos.astype(jnp.int32), widx]
     )  # [2]: (query position, append index)
     cf, sf = _rope_rows(cos, sin, num_heads)
     x8 = jnp.zeros((8, E), jnp.float32).at[0].set(x[0].astype(jnp.float32))
@@ -944,10 +951,13 @@ def fused_backbone_step(
     """
     L = len(k_caches)
     ldim = latent.shape[-1]
+    C = k_caches[0].shape[2]
     scalars = jnp.concatenate(
         [
             qpos.astype(jnp.int32),
-            widx.astype(jnp.int32),
+            # Clamped like the replaced dynamic_update_slice (see
+            # fused_backbone_decode).
+            jnp.minimum(widx.astype(jnp.int32), C - 1),
             is_bos.astype(jnp.int32),
         ]
     )  # [3]: (query position, append index, is_bos)

@@ -108,11 +108,14 @@ def _time_embedding(te_params, t_val: float) -> jnp.ndarray:
     return (x * jax.lax.rsqrt(ss / (n - 1) + 1e-5) * alpha)[0]
 
 
-def pack_flow_bf16(flow_params: dict, flow_net_params: dict) -> dict:
+def pack_flow_bf16(flow_net_params: dict) -> dict:
     """Pack the SimpleMLPAdaLN weights for in-kernel streaming. Requires the
     b6369a24 flow geometry (model_channels=512, depth=6, cond=1024,
-    ldim<=128, num_time_conds=2, lsd_decode_steps=1) — callers fall back to
-    the scan path otherwise. Returns {"fchunks": bf16 [10, 1024, 1024]}."""
+    ldim<128 — the kernel parks the EOS logit at lane `ldim` of the
+    128-lane latent row, so that lane must exist and be spare,
+    num_time_conds=2, lsd_decode_steps=1) — callers fall back to the scan
+    path otherwise. Returns {"fchunks": bf16 [10, 1024, 1024],
+    "fparams": f32 [512, 512]}."""
     p = flow_net_params
     wc = p["cond_embed"]["weight"]  # [512, 1024]
     wa_mods = [b["adaLN_modulation"][1] for b in p["res_blocks"]] + [
@@ -125,10 +128,10 @@ def pack_flow_bf16(flow_params: dict, flow_net_params: dict) -> dict:
     depth = len(p["res_blocks"])
     mc = wc.shape[0]
     ldim = win.shape[1]
-    if mc != _MC or depth != 6 or wc.shape[1] != 1024 or ldim > 128:
+    if mc != _MC or depth != 6 or wc.shape[1] != 1024 or ldim >= 128:
         raise ValueError(
             f"fused segment supports flow(dim=512, depth=6, cond=1024, "
-            f"ldim<=128); got dim={mc}, depth={depth}, cond={wc.shape[1]}, "
+            f"ldim<128); got dim={mc}, depth={depth}, cond={wc.shape[1]}, "
             f"ldim={ldim}"
         )
     if wa.shape != (20 * _MC, _MC):
@@ -198,6 +201,13 @@ def pack_flow_bf16(flow_params: dict, flow_net_params: dict) -> dict:
 
 def _silu(x):
     return x * (1.0 / (1.0 + jnp.exp(-x)))
+
+
+# NOTE: the backbone phase bodies below deliberately mirror
+# fused_backbone._kernel (matmul_chunk, rope, split_heads, attention, FF) —
+# the two kernels close over different ref sets, so sharing the bodies would
+# couple their layouts. ANY numerics change to one MUST be mirrored in the
+# other; the parity tests tie both to the same XLA oracle.
 
 
 def _seg_kernel(

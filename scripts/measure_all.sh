@@ -17,7 +17,8 @@ run() {
   name=$1; shift
   echo "=== $name: $*"
   timeout "${MEASURE_TIMEOUT:-1200}" "$@" 2>&1 | tee "$out/$name.log"
-  echo "exit=$? (see $out/$name.log)"
+  # tee's status would mask the command's — report the pipeline head.
+  echo "exit=${PIPESTATUS[0]} (see $out/$name.log)"
 }
 
 run parity      python scripts/tpu_parity.py --steps 6

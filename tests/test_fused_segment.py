@@ -48,7 +48,7 @@ def setup():
     q = quantize_int8({"flow_lm": params}, subtrees=("transformer",))["flow_lm"]
     packed = pack_backbone_int8(q["transformer"]["layers"])
     head_packed = pack_backbone_head(q)
-    flow_packed = pack_flow_bf16(q, q["flow_net"])
+    flow_packed = pack_flow_bf16(q["flow_net"])
     state = flow_lm.init_state(1, C, dtype=jnp.bfloat16)
     emb = jax.random.normal(jax.random.PRNGKey(1), (1, 9, E), jnp.float32) * 0.3
     state = flow_lm.prefill(q, state, emb, jnp.full((1,), 9, jnp.int32))
