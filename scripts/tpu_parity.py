@@ -215,6 +215,94 @@ def run_head_variant(t, qparams, packed, state0, steps, attn_mode, block, atol):
     return worst, None
 
 
+def run_segment_variant(t, qparams, packed, state0, steps, atol):
+    """Compiled whole-segment kernel (ops/fused_segment.py) vs the chained
+    oracle — S frames in one call, flow head included. The flow head runs
+    bf16 weight chunks, so the tolerance is looser than the per-frame
+    variants (see tests/test_fused_segment.py)."""
+    from pocket_tts_tpu.ops.fused_backbone import pack_backbone_head
+    from pocket_tts_tpu.ops.fused_segment import fused_segment_decode, pack_flow_bf16
+    from pocket_tts_tpu.ops.linear import linear
+    from pocket_tts_tpu.ops.norms import layer_norm
+    from pocket_tts_tpu.ops.rope import rope_angles
+    from pocket_tts_tpu.ops.sampling import lsd_decode
+    from pocket_tts_tpu.config.schema import FlowLMConfig
+    from pocket_tts_tpu.models.flow_lm import FlowLMModel
+    from pocket_tts_tpu.models.weights import quantize_int8
+
+    cfg = FlowLMConfig(
+        dtype="float32",
+        flow={"depth": 6, "dim": 512},
+        transformer={
+            "d_model": E, "hidden_scale": 4, "max_period": 10000,
+            "num_heads": H, "num_layers": L,
+        },
+        lookup_table={
+            "dim": E, "n_bins": 100, "tokenizer": "sentencepiece",
+            "tokenizer_path": "unavailable://",
+        },
+    )
+    flow_lm = FlowLMModel(config=cfg, latent_dim=32)
+    params = flow_lm.init_params(jax.random.PRNGKey(3))
+    q = quantize_int8({"flow_lm": params}, subtrees=("transformer",))["flow_lm"]
+    packed2 = pack_backbone_int8(q["transformer"]["layers"])
+    head_packed = pack_backbone_head(q)
+    flow_packed = pack_flow_bf16(q["flow_net"])
+    C = state0["layers"][0]["k"].shape[2]
+    state = flow_lm.init_state(1, C, dtype=jnp.bfloat16)
+    emb = jax.random.normal(jax.random.PRNGKey(4), (1, 17, E), jnp.float32) * 0.3
+    state = flow_lm.prefill(q, state, emb, jnp.full((1,), 17, jnp.int32))
+
+    S = steps
+    noise = jax.random.normal(jax.random.PRNGKey(5), (S, 32), jnp.float32) * 0.6
+    latent0 = jax.random.normal(jax.random.PRNGKey(6), (1, 32), jnp.float32)
+    rng = jax.random.PRNGKey(0)
+
+    s_ref, lat = state, latent0
+    refs = []
+    for i in range(S):
+        is_bos = jnp.full((1,), i == 0, jnp.bool_)
+        s_ref, lat, _ = flow_lm.decode_step(
+            q, s_ref, lat, is_bos, rng, 0.7, 1, None, 0.0, noise=noise[i : i + 1]
+        )
+        refs.append(np.asarray(lat[0]))
+
+    tstate = state["transformer"]
+    pos0 = int(state["pos"][0])
+    positions = (pos0 + jnp.arange(S, dtype=jnp.int32))[None, :]
+    cos, sin = rope_angles(positions, E // H)
+    latents, eos, new_ks, new_vs, spnew = jax.jit(
+        lambda: fused_segment_decode(
+            packed2, head_packed, flow_packed, latent0,
+            jnp.full((1,), True, jnp.bool_), noise,
+            tuple(l["k"] for l in tstate["layers"]),
+            tuple(l["v"] for l in tstate["layers"]),
+            tstate["layers"][0]["slot_pos"],
+            jnp.full((1,), pos0, jnp.int32),
+            jnp.full((1,), int(tstate["widx"]), jnp.int32),
+            cos[0, :, 0], sin[0, :, 0], num_heads=H, seg_frames=S,
+        )
+    )()
+    worst = 0.0
+    for i in range(S):
+        err = float(np.abs(np.asarray(latents[i]) - refs[i]).max())
+        worst = max(worst, err)
+        if err > atol:
+            return worst, f"frame {i}: latent diverged (max|diff|={err:.5f})"
+    for i in range(L):
+        a = np.asarray(new_ks[i], np.float32)
+        b = np.asarray(s_ref["transformer"]["layers"][i]["k"][0], np.float32)
+        err = float(np.abs(a - b).max())
+        worst = max(worst, err)
+        if err > atol:
+            return worst, f"layer {i} cache k diverged (max|diff|={err:.5f})"
+    if not np.array_equal(
+        np.asarray(spnew), np.asarray(s_ref["transformer"]["layers"][0]["slot_pos"])
+    ):
+        return worst, "slot_pos diverged"
+    return worst, None
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=8)
@@ -249,6 +337,14 @@ def main() -> None:
         tag = "FAIL " + fail if fail else "ok"
         print(f"C={C:5d} head:vpu {hblock:5s} worst={worst:.5f}  {tag}", flush=True)
         failures += bool(fail)
+        if C <= 512:
+            # The whole-segment kernel (opt-in; bf16 flow head -> looser tol).
+            worst, fail = run_segment_variant(
+                t, qparams, packed, state, args.steps, max(args.atol, 0.15)
+            )
+            tag = "FAIL " + fail if fail else "ok"
+            print(f"C={C:5d} segment  S={args.steps}  worst={worst:.5f}  {tag}", flush=True)
+            failures += bool(fail)
     print("PARITY OK" if not failures else f"PARITY FAIL ({failures} variants)")
     sys.exit(1 if failures else 0)
 
