@@ -116,7 +116,10 @@ def _segment_kernel_call(flow_lm, flow_params, flow_state, carry, noise_seq, eos
     return contract: (flow_state', last_latent, latents [S, 1, ldim],
     eos_flags [S, 1])."""
     from pocket_tts_tpu.ops.fused_backbone import fused_interpret_enabled
-    from pocket_tts_tpu.ops.fused_segment import fused_segment_decode
+    from pocket_tts_tpu.ops.fused_segment import (
+        fused_segment_decode,
+        segment_block_mode,
+    )
     from pocket_tts_tpu.ops.rope import rope_angles
 
     t = flow_params["transformer"]
@@ -132,6 +135,8 @@ def _segment_kernel_call(flow_lm, flow_params, flow_state, carry, noise_seq, eos
         tcfg.d_model // tcfg.num_heads,
         float(tcfg.max_period),
     )
+    k0 = layers[0]["k"]
+    kv_bytes = 2 * k0.shape[1] * k0.shape[2] * k0.shape[3] * k0.dtype.itemsize
     latents, eos_logits, new_ks, new_vs, spnew = fused_segment_decode(
         t["fused"],
         t["fused_head"],
@@ -149,6 +154,7 @@ def _segment_kernel_call(flow_lm, flow_params, flow_state, carry, noise_seq, eos
         num_heads=tcfg.num_heads,
         interpret=fused_interpret_enabled(),
         seg_frames=S,
+        block=segment_block_mode(kv_bytes),
     )
     new_layers = [
         {"k": new_ks[i][None], "v": new_vs[i][None], "slot_pos": spnew}

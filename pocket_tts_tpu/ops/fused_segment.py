@@ -51,15 +51,33 @@ from pocket_tts_tpu.ops.fused_backbone import (
     _NCHUNK,
     _layer_norm_f32,
     _pair_index,
+    _tri_index,
     _erf,
     pack_backbone_head,  # noqa: F401  (re-export for callers)
 )
 from pocket_tts_tpu.utils.env import env_flag
 
 _NEG_INF = -1e9
-_BACKBONE_PHASES = 7  # pair layout
+_PHASES = {"pair": 7, "tri": 4}  # backbone phases per layer, by block mode
 _FLOW_PHASES = 10
 _MC = 512  # flow model_channels the packing hardcodes (b6369a24)
+
+
+def segment_block_mode(kv_bytes: int) -> str:
+    """Backbone block layout for the segment kernel, default "pair" (2 MiB
+    blocks, 52 grid steps/frame — the safest VMEM budget). "tri" (3 MiB
+    blocks, 34 steps/frame; POCKET_TTS_FUSED_SEGMENT_BLOCK=tri) trades ~2
+    MiB of headroom for fewer, larger DMAs — a measured win for the
+    per-frame kernel — but only fits next to the 4 MiB flow double-buffer
+    at the C<=512 buckets, so bigger KV demotes it back to pair."""
+    import os
+
+    v = (
+        os.environ.get("POCKET_TTS_FUSED_SEGMENT_BLOCK", "pair") or "pair"
+    ).strip().lower()
+    if v == "tri" and kv_bytes <= 2 * 1024 * 1024:
+        return "tri"
+    return "pair"
 
 
 def fused_segment_enabled() -> bool:
@@ -232,6 +250,7 @@ def _seg_kernel(
     cache_dtype,
     seg_frames: int,
     ldim: int,
+    block: str,
 ):
     L = num_layers
     (k_hbm, v_hbm) = refs[:L], refs[L : 2 * L]
@@ -257,11 +276,12 @@ def _seg_kernel(
     # offset would corrupt memory rather than clamp.
     widx = jnp.minimum(sc_ref[1] + s, C - 1)
 
-    pb = jnp.minimum(p, 6 * _BACKBONE_PHASES - 1)
-    l = pb // _BACKBONE_PHASES
-    sub = pb % _BACKBONE_PHASES
-    in_backbone = p < 6 * _BACKBONE_PHASES
-    fp = p - 6 * _BACKBONE_PHASES  # flow phase id (valid when >= 0)
+    nph = _PHASES[block]
+    pb = jnp.minimum(p, 6 * nph - 1)
+    l = pb // nph
+    sub = pb % nph
+    in_backbone = p < 6 * nph
+    fp = p - 6 * nph  # flow phase id (valid when >= 0)
 
     def matmul_chunk(xrow, j, srow):
         w = w_ref[0, j].astype(jnp.bfloat16)
@@ -320,12 +340,12 @@ def _seg_kernel(
             x_s[:, :], ln_ref[0, 0][None, :], ln_ref[0, 1][None, :]
         )
 
-    def body_qk():
-        split_heads(rope(matmul_chunk(lnx_s[:, :], 0, 0)), q16)
-        split_heads(rope(matmul_chunk(lnx_s[:, :], 1, 1)), k16)
+    def body_qk(jq, jk):
+        split_heads(rope(matmul_chunk(lnx_s[:, :], jq, 0)), q16)
+        split_heads(rope(matmul_chunk(lnx_s[:, :], jk, 1)), k16)
 
-    def body_v_append():
-        v = matmul_chunk(lnx_s[:, :], 0, 2)
+    def body_v_append(jv):
+        v = matmul_chunk(lnx_s[:, :], jv, 2)
         split_heads(v, v16)
         # Stage this layer's new (k, v) row and DMA it STRAIGHT into the
         # aliased HBM cache at row widx — the wait right after keeps every
@@ -349,7 +369,7 @@ def _seg_kernel(
                 cp.start()
                 cp.wait()
 
-    def body_attn_out():
+    def body_attn_out(jo):
         pltpu.make_async_copy(k_hbm[0], kv_k, sem_k).wait()
         pltpu.make_async_copy(v_hbm[0], kv_v, sem_v).wait()
         rows_c = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
@@ -388,7 +408,7 @@ def _seg_kernel(
             attn16[h, :] = out + w_self * v_self
         for h in range(H):
             yacc_s[0, h * d : (h + 1) * d] = attn16[h, :]
-        acc = matmul_chunk(yacc_s[:, :], 1, 3)
+        acc = matmul_chunk(yacc_s[:, :], jo, 3)
         x_s[0, :] = x_s[0, :] + acc[0]
         lnx_s[:, :] = _layer_norm_f32(
             x_s[:, :], ln_ref[0, 2][None, :], ln_ref[0, 3][None, :]
@@ -543,37 +563,60 @@ def _seg_kernel(
                 inseg, sc_ref[0] + (lanes - sc_ref[1]), sp_ref[0:1, :]
             )
 
-    # ---------------- wire phases ----------------
-    @pl.when(in_backbone & (sub == 0))
-    def _():
-        body_layer_start()
-        body_qk()
+    # ---------------- wire phases (mirrors fused_backbone's layouts) ------
+    if block == "pair":
+        @pl.when(in_backbone & (sub == 0))
+        def _():
+            body_layer_start()
+            body_qk(0, 1)
 
-    @pl.when(in_backbone & (sub == 1))
-    def _():
-        body_v_append()
+        @pl.when(in_backbone & (sub == 1))
+        def _():
+            body_v_append(0)
 
-    @pl.when(in_backbone & (sub == 2))
-    def _():
-        body_attn_out()
+        @pl.when(in_backbone & (sub == 2))
+        def _():
+            body_attn_out(1)
 
-    @pl.when(in_backbone & (sub == 3))
-    def _():
-        body_prefetch_next_kv()
-        body_ff1([(0, 0), (1, 1)])
+        @pl.when(in_backbone & (sub == 3))
+        def _():
+            body_prefetch_next_kv()
+            body_ff1([(0, 0), (1, 1)])
 
-    @pl.when(in_backbone & (sub == 4))
-    def _():
-        body_ff1([(2, 0), (3, 1)])
+        @pl.when(in_backbone & (sub == 4))
+        def _():
+            body_ff1([(2, 0), (3, 1)])
 
-    @pl.when(in_backbone & (sub == 5))
-    def _():
-        body_ff2([(0, 0), (1, 1)])
+        @pl.when(in_backbone & (sub == 5))
+        def _():
+            body_ff2([(0, 0), (1, 1)])
 
-    @pl.when(in_backbone & (sub == 6))
-    def _():
-        body_ff2([(2, 0), (3, 1)])
-        body_tail()
+        @pl.when(in_backbone & (sub == 6))
+        def _():
+            body_ff2([(2, 0), (3, 1)])
+            body_tail()
+    else:  # tri: 4 phases/layer, 3 MiB blocks, 24 backbone steps
+        @pl.when(in_backbone & (sub == 0))
+        def _():
+            body_layer_start()
+            body_qk(0, 1)
+            body_v_append(2)
+
+        @pl.when(in_backbone & (sub == 1))
+        def _():
+            body_attn_out(0)
+            body_ff1([(0, 1), (1, 2)])
+
+        @pl.when(in_backbone & (sub == 2))
+        def _():
+            body_prefetch_next_kv()
+            body_ff1([(2, 0), (3, 1)])
+            body_ff2([(0, 2)])
+
+        @pl.when(in_backbone & (sub == 3))
+        def _():
+            body_ff2([(1, 0), (2, 1), (3, 2)])
+            body_tail()
 
     @pl.when(fp == 0)
     def _():
@@ -595,7 +638,7 @@ def _seg_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "interpret", "seg_frames")
+    jax.jit, static_argnames=("num_heads", "interpret", "seg_frames", "block")
 )
 def fused_segment_decode(
     packed: dict,  # pack_backbone_int8 output (int8 chunks, scales, ln)
@@ -614,6 +657,7 @@ def fused_segment_decode(
     num_heads: int = 16,
     interpret: bool = False,
     seg_frames: int = 8,
+    block: str = "pair",  # "pair" (2 MiB, safest VMEM) | "tri" (3 MiB, C<=512)
 ):
     """Run S = seg_frames autoregressive decode frames in ONE Mosaic program
     -> (latents [S, ldim] f32, eos_logits [S] f32, k', v', slot_pos').
@@ -654,17 +698,21 @@ def fused_segment_decode(
         cache_dtype=cache_dtype,
         seg_frames=S,
         ldim=ldim,
+        block=block,
     )
 
-    nph = 6 * _BACKBONE_PHASES + _FLOW_PHASES
+    bph = _PHASES[block]
+    nblk = {"pair": 2, "tri": 3}[block]
+    blk_index = {"pair": _pair_index, "tri": _tri_index}[block]
+    nph = 6 * bph + _FLOW_PHASES
 
     def wmap(s, p, _sc):
-        pb = jnp.minimum(p, 6 * _BACKBONE_PHASES - 1)
-        return (pb // _BACKBONE_PHASES, _pair_index(pb % _BACKBONE_PHASES), 0, 0)
+        pb = jnp.minimum(p, 6 * bph - 1)
+        return (pb // bph, blk_index(pb % bph), 0, 0)
 
     def lmap(s, p, _sc):
-        pb = jnp.minimum(p, 6 * _BACKBONE_PHASES - 1)
-        return (pb // _BACKBONE_PHASES, 0, 0)
+        pb = jnp.minimum(p, 6 * bph - 1)
+        return (pb // bph, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -673,7 +721,7 @@ def fused_segment_decode(
             pl.BlockSpec((8, 128), lambda s, p, _sc: (0, 0)),  # hx
             pl.BlockSpec((128, E), lambda s, p, _sc: (0, 0)),  # win
             pl.BlockSpec((8, E), lambda s, p, _sc: (0, 0)),  # hw
-            pl.BlockSpec((1, 2, E, E), wmap),  # backbone int8 pair
+            pl.BlockSpec((1, nblk, E, E), wmap),  # backbone int8 block
             pl.BlockSpec((1, _NCHUNK, E), lmap),  # scales
             pl.BlockSpec((1, 4, E), lmap),  # ln
             pl.BlockSpec((1, E), lambda s, p, _sc: (s, 0)),  # cf
@@ -682,7 +730,7 @@ def fused_segment_decode(
             pl.BlockSpec(
                 (1, 2 * _MC, 2 * _MC),
                 lambda s, p, _sc: (
-                    jnp.clip(p - 6 * _BACKBONE_PHASES, 0, _FLOW_PHASES - 1),
+                    jnp.clip(p - 6 * bph, 0, _FLOW_PHASES - 1),
                     0,
                     0,
                 ),

@@ -56,7 +56,8 @@ def setup():
 
 
 @pytest.mark.parametrize("bos", [True, False])
-def test_segment_kernel_matches_chained_decode_steps(setup, bos):
+@pytest.mark.parametrize("block", ["pair", "tri"])
+def test_segment_kernel_matches_chained_decode_steps(setup, bos, block):
     flow_lm, q, packed, head_packed, flow_packed, state0 = setup
     from pocket_tts_tpu.ops.rope import rope_angles
 
@@ -102,6 +103,7 @@ def test_segment_kernel_matches_chained_decode_steps(setup, bos):
         num_heads=H,
         interpret=True,
         seg_frames=S,
+        block=block,
     )
     # Tolerance: the kernel's flow matmuls take bf16 operands (exactly
     # what the TPU oracle's f32 weights get under "default" precision); the
