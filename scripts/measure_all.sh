@@ -31,5 +31,6 @@ run bench       python bench.py
 # make_segment_fn dispatch — bench.py exercises it; ablate.py builds its
 # own stubbed segment and would not).
 run bench_seg env POCKET_TTS_FUSED_SEGMENT=1 python bench.py
+run bench_seg_tri env POCKET_TTS_FUSED_SEGMENT=1 POCKET_TTS_FUSED_SEGMENT_BLOCK=tri python bench.py
 run seg_micro python benchmarks/segment_micro.py --capacity 512
 echo "done: $out"
