@@ -52,11 +52,13 @@ def build_segment(flow_lm, mimi, lsd_steps, noise_clamp, S, unroll, ablate):
             lambda k: sample_noise(k, (B0, flow_lm.ldim), temp, noise_clamp)
         )(frame_keys)
 
+        # Mirror the production THIN carry (models/generate.py): the scan
+        # threads only (state, latent, bos); step/tick bookkeeping moved out
+        # of the per-frame loop there, so it must not be measured here.
         def step(loop_carry, noise):
-            st, c = loop_carry
+            st, latent, bos = loop_carry
             seq = jnp.where(
-                c["is_bos"][:, None], fp["bos_emb"][None, :].astype(c["latent"].dtype),
-                c["latent"],
+                bos[:, None], fp["bos_emb"][None, :].astype(latent.dtype), latent
             )
             if "nobackbone" in stubs:
                 h = jnp.tanh(linear(seq, fp["input_linear"]["weight"])).astype(jnp.float32)
@@ -74,13 +76,16 @@ def build_segment(flow_lm, mimi, lsd_steps, noise_clamp, S, unroll, ablate):
             else:
                 nxt = lsd_decode(lambda s, t, xc: flow_net(fp["flow_net"], h, s, t, xc),
                                  noise, lsd_steps)
-            new_c = {**c, "latent": nxt, "is_bos": jnp.zeros_like(c["is_bos"]),
-                     "step": c["step"] + 1, "tick": c["tick"] + 1}
-            return ({"transformer": tstate, "pos": st["pos"] + 1}, new_c), nxt
+            new_st = {"transformer": tstate, "pos": st["pos"] + 1}
+            return (new_st, nxt, jnp.zeros_like(bos)), nxt
 
-        (flow_state, carry), latents = jax.lax.scan(
-            step, (flow_state, carry), noise_seq, unroll=unroll
+        (flow_state, last_latent, _), latents = jax.lax.scan(
+            step, (flow_state, carry["latent"], carry["is_bos"]), noise_seq,
+            unroll=unroll,
         )
+        carry = {**carry, "latent": last_latent,
+                 "is_bos": jnp.zeros_like(jnp.asarray(carry["is_bos"])),
+                 "step": carry["step"] + S, "tick": carry["tick"] + S}
         latents = jnp.transpose(latents, (1, 0, 2))
         if "nomimi" in stubs:
             audio = jnp.zeros(
