@@ -176,6 +176,45 @@ def main() -> None:
         f"{results['skeleton']:.3f} ms/frame"
     )
 
+    # Apples-to-apples A/B of the PRODUCTION segment fn (models/generate.py):
+    # per-frame scan (with whatever kernels dispatch) vs the whole-segment
+    # kernel — same harness, same chain methodology. Only runs where the
+    # packed layouts exist (int8 on TPU) and the capacity bucket qualifies.
+    t = params["flow_lm"]["transformer"]
+    if isinstance(t, dict) and "fused_segment" in t and B == 1:
+        from pocket_tts_tpu.models.generate import make_segment_fn
+
+        for tag, env in (("prod-scan", "0"), ("prod-segment", "1")):
+            os.environ["POCKET_TTS_FUSED_SEGMENT"] = env
+            fn = jax.jit(
+                make_segment_fn(flow_lm, mimi, model.lsd_decode_steps,
+                                model.noise_clamp, S, args.unroll),
+                donate_argnums=(1, 2, 3),
+            )
+            state0 = flow_lm.init_state(B, args.capacity, dtype=model.state_dtype)
+            flow_state = jax.jit(flow_lm.prefill)(
+                params["flow_lm"], state0, prompt, lengths
+            )
+            mimi_state = mimi.init_decode_state(
+                B, kv_dtype=model.state_dtype, max_chunk_frames=S
+            )
+            carry = initial_carry(flow_lm, B, [10**6] * B, [10**6] * B)
+
+            def chain(n):
+                nonlocal flow_state, mimi_state, carry
+                last = None
+                for _ in range(n):
+                    flow_state, mimi_state, carry, audio, _emit, _done = fn(
+                        params, flow_state, mimi_state, carry, rng, temp, thr
+                    )
+                    last = audio
+                return float(jax.device_get(jnp.sum(last[:, -1, -8:])))
+
+            chain(2)
+            best = min(_timed(chain, args.segments) for _ in range(args.repeats))
+            ms = best * 1000 / (args.segments * S)
+            print(f"{tag:12s} {ms:.3f} ms/frame (best of {args.repeats})", flush=True)
+
 
 if __name__ == "__main__":
     main()
