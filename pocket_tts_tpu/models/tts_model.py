@@ -200,6 +200,92 @@ class ModelState:
         return size_of_pytree(self.tree)
 
 
+def _probe_fused_compile(model) -> None:
+    """Compile-probe the packed Pallas kernels at load time, degrading
+    STEPWISE on failure instead of crashing the first generate call:
+    head-folded kernel fails -> body-only megakernel; body fails -> XLA
+    decode path. A Mosaic rejection on a new backend (or a kernel change
+    that only interpret mode validated) then costs performance, never a
+    serving outage — and the probe compiles the C=512 production bucket,
+    so with the persistent compile cache it is one-time work that the
+    first real request would have paid anyway. POCKET_TTS_NO_FUSED_PROBE=1
+    skips it."""
+    if env_flag("POCKET_TTS_NO_FUSED_PROBE", False):
+        return
+    from pocket_tts_tpu.ops.fused_backbone import (
+        fused_backbone_decode,
+        fused_backbone_step,
+        select_modes,
+    )
+
+    t = model.params["flow_lm"]["transformer"]
+    fl = model.flow_lm
+    tcfg = fl.config.transformer
+    E, H, L = tcfg.d_model, tcfg.num_heads, tcfg.num_layers
+    d = E // H
+    C = 512
+    sds = jax.ShapeDtypeStruct
+    kv = tuple(sds((1, H, C, d), model.state_dtype) for _ in range(L))
+    sp = sds((1, C), jnp.int32)
+    i32 = sds((1,), jnp.int32)
+    cs = sds((d // 2,), jnp.float32)
+    kvb = 2 * H * C * d * jnp.dtype(model.state_dtype).itemsize
+    try:
+        attn, blk = select_modes(kvb, C)
+        fused_backbone_decode.lower(
+            t["fused"], sds((1, E), jnp.float32), kv, kv, sp, i32, cs, cs,
+            widx=i32, num_heads=H, attn_mode=attn, block=blk,
+        ).compile()
+    except Exception as e:  # noqa: BLE001 — any compile failure degrades
+        logger.warning(
+            "megakernel failed to compile on this backend; "
+            "falling back to the XLA decode path: %s", e
+        )
+        t.pop("fused", None)
+        t.pop("fused_head", None)
+        t.pop("fused_segment", None)
+        return
+    try:
+        attn, blk = select_modes(kvb, C, head=True)
+        fused_backbone_step.lower(
+            t["fused"], t["fused_head"], sds((1, fl.ldim), jnp.float32),
+            sds((1,), jnp.bool_), kv, kv, sp, i32, cs, cs, i32,
+            num_heads=H, attn_mode=attn, block=blk,
+        ).compile()
+    except Exception as e:  # noqa: BLE001
+        logger.warning(
+            "head-folded kernel failed to compile; "
+            "using the body-only megakernel: %s", e
+        )
+        t.pop("fused_head", None)
+        t.pop("fused_segment", None)
+        return
+    if "fused_segment" in t:
+        from pocket_tts_tpu.ops.fused_segment import (
+            fused_segment_decode,
+            fused_segment_enabled,
+            segment_block_mode,
+        )
+
+        if not fused_segment_enabled():
+            return  # opt-in path not requested; skip the extra compile
+        try:
+            S = 8
+            fused_segment_decode.lower(
+                t["fused"], t["fused_head"], t["fused_segment"],
+                sds((1, fl.ldim), jnp.float32), sds((1,), jnp.bool_),
+                sds((S, fl.ldim), jnp.float32), kv, kv, sp, i32, i32,
+                sds((S, d // 2), jnp.float32), sds((S, d // 2), jnp.float32),
+                num_heads=H, seg_frames=S, block=segment_block_mode(kvb),
+            ).compile()
+        except Exception as e:  # noqa: BLE001
+            logger.warning(
+                "whole-segment kernel failed to compile; "
+                "using the per-frame kernel + scan: %s", e
+            )
+            t.pop("fused_segment", None)
+
+
 class TTSModel:
     """Text-to-speech pipeline with speaker conditioning, FlowLM, and Mimi."""
 
@@ -411,6 +497,7 @@ class TTSModel:
                     # Named so an opted-in POCKET_TTS_FUSED_SEGMENT=1 run
                     # can't silently benchmark the scan path instead.
                     logger.warning("whole-segment kernel unavailable: %s", e)
+                _probe_fused_compile(model)
         if mesh is not None:
             from pocket_tts_tpu.parallel.mesh import shard_params
 

@@ -200,3 +200,30 @@ def test_segment_dispatch_matches_scan_path(setup, monkeypatch):
             np.asarray(fs_a["transformer"]["layers"][i]["slot_pos"]),
             np.asarray(fs_b["transformer"]["layers"][i]["slot_pos"]),
         )
+
+
+def test_compile_probe_degrades_gracefully(setup):
+    """The load-time compile probe (tts_model._probe_fused_compile) must
+    DEGRADE on a backend that cannot compile Mosaic kernels — dropping the
+    packed layouts with a warning so serving falls back to the XLA path —
+    never raise. The CPU backend is exactly such a backend."""
+    flow_lm, q, packed, head_packed, flow_packed, _state0 = setup
+    from pocket_tts_tpu.models.tts_model import _probe_fused_compile
+
+    qq = dict(q)
+    qq["transformer"] = dict(q["transformer"])
+    qq["transformer"]["fused"] = packed
+    qq["transformer"]["fused_head"] = head_packed
+    qq["transformer"]["fused_segment"] = flow_packed
+
+    class _Shim:
+        pass
+
+    m = _Shim()
+    m.params = {"flow_lm": qq}
+    m.flow_lm = flow_lm
+    m.state_dtype = jnp.bfloat16
+    _probe_fused_compile(m)  # must not raise
+    assert "fused" not in qq["transformer"]
+    assert "fused_head" not in qq["transformer"]
+    assert "fused_segment" not in qq["transformer"]
