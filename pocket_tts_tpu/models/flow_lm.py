@@ -271,9 +271,9 @@ class FlowLMModel:
             tcfg.d_model // tcfg.num_heads,
             float(tcfg.max_period),
         )
-        k0 = layers[0]["k"]
+        k0 = layers[0]["k"]  # [1, C, H, d] slot-major
         kv_bytes = 2 * k0.shape[1] * k0.shape[2] * k0.shape[3] * k0.dtype.itemsize
-        attn_mode, block = select_modes(kv_bytes, k0.shape[2], head=True)
+        attn_mode, block = select_modes(kv_bytes, k0.shape[1], head=True)
         h, eos_logit, new_ks, new_vs, spnew = fused_backbone_step(
             t_params["fused"],
             t_params["fused_head"],
@@ -309,13 +309,13 @@ class FlowLMModel:
         reference's in-place cache expansion, tts_model.py:278-295). k/v pad
         with zeros; slot_pos pads with -1 (invalid)."""
         def grow_layer(layer: State) -> State:
-            cur = layer["k"].shape[2]
+            cur = layer["k"].shape[1]  # slot-major [B, C, H, d]
             if cur >= capacity:
                 return layer
             pad = capacity - cur
             return {
-                "k": jnp.pad(layer["k"], ((0, 0), (0, 0), (0, pad), (0, 0))),
-                "v": jnp.pad(layer["v"], ((0, 0), (0, 0), (0, pad), (0, 0))),
+                "k": jnp.pad(layer["k"], ((0, 0), (0, pad), (0, 0), (0, 0))),
+                "v": jnp.pad(layer["v"], ((0, 0), (0, pad), (0, 0), (0, 0))),
                 "slot_pos": jnp.pad(layer["slot_pos"], ((0, 0), (0, pad)), constant_values=-1),
             }
 
@@ -340,13 +340,13 @@ class FlowLMModel:
                 jnp.where(slot_pos >= 0, slot_pos, 2**30), axis=1
             )  # valid entries first, in position order
             gathered_pos = jnp.take_along_axis(slot_pos, order, axis=1)
-            idx = order[:, None, :, None]
+            idx = order[:, :, None, None]  # slot axis is dim 1
 
             def g(a):
                 return jnp.take_along_axis(
                     a,
                     jnp.broadcast_to(idx, (a.shape[0], a.shape[1], a.shape[2], a.shape[3])),
-                    axis=2,
+                    axis=1,
                 )
 
             return {"k": g(layer["k"]), "v": g(layer["v"]), "slot_pos": gathered_pos}
@@ -358,7 +358,7 @@ class FlowLMModel:
         }
 
     def state_capacity(self, state: State) -> int:
-        return state["transformer"]["layers"][0]["k"].shape[2]
+        return state["transformer"]["layers"][0]["k"].shape[1]  # [B, C, H, d]
 
     def state_written(self, state: State) -> "jnp.ndarray":
         """Device-side write index (slots consumed so far)."""

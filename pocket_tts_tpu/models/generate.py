@@ -106,7 +106,7 @@ def _segment_kernel_ok(flow_lm, flow_params, flow_state, B, lsd_decode_steps) ->
         and fused_segment_enabled()
     ):
         return False
-    k = flow_state["transformer"]["layers"][0]["k"]
+    k = flow_state["transformer"]["layers"][0]["k"]  # [1, C, H, d] slot-major
     kv_bytes = 2 * k.shape[1] * k.shape[2] * k.shape[3] * k.dtype.itemsize
     return kv_bytes <= 4 * 1024 * 1024
 
@@ -135,7 +135,7 @@ def _segment_kernel_call(flow_lm, flow_params, flow_state, carry, noise_seq, eos
         tcfg.d_model // tcfg.num_heads,
         float(tcfg.max_period),
     )
-    k0 = layers[0]["k"]
+    k0 = layers[0]["k"]  # [1, C, H, d] slot-major
     kv_bytes = 2 * k0.shape[1] * k0.shape[2] * k0.shape[3] * k0.dtype.itemsize
     latents, eos_logits, new_ks, new_vs, spnew = fused_segment_decode(
         t["fused"],

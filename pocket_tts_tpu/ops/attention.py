@@ -15,6 +15,16 @@ Two flavors, mirroring the reference semantics but redesigned for XLA:
   Python B*T loop (reference: pocket_tts_mlx/modules/attention.py:67-105,
   noted there as an MLX workaround).
 
+Cache layout is **slot-major** `[B, slots, H, d]` (not `[B, H, slots, d]`):
+one appended frame is then a single contiguous row of H*d elements, which is
+what lets (a) the append be one dense dynamic_update_slice, and (b) the
+decode megakernel (ops/fused_backbone.py) view the cache as a 2-D `(C, H*d)`
+array whose 128-lane tiling is exactly aligned — Mosaic rejects DMAs that
+slice the lane-padded d=64 minor dim of an `[H, C, d]` layout on hardware
+(scripts/mosaic_probe.py documents the two primitives the 2-D view needs).
+The SDPA consumes the layout directly via dot_general batch dims — no
+materialized transpose on the XLA path either.
+
 Both take positions [B, T] (int32 absolute stream positions, -1 = padding),
 which is what makes batched serving with per-stream offsets possible (the
 reference is hard-coded to batch 1).
@@ -92,6 +102,34 @@ def _sdpa(
     return out.astype(out_dtype)
 
 
+def _sdpa_slots(
+    q: jnp.ndarray,  # [B, H, Tq, d]
+    k: jnp.ndarray,  # [B, S, H, d] slot-major cache (may be bf16)
+    v: jnp.ndarray,  # [B, S, H, d]
+    valid: jnp.ndarray,  # bool, broadcastable to [B, H, Tq, S]
+) -> jnp.ndarray:
+    """_sdpa over a slot-major [B, S, H, d] cache — dot_general batch dims
+    absorb the layout difference, so no transpose is materialized. Numerics
+    identical to _sdpa (f32 scores/softmax, matmuls in the cache dtype)."""
+    out_dtype = q.dtype
+    d = q.shape[-1]
+    scores = lax.dot_general(
+        q.astype(k.dtype),
+        k,
+        dimension_numbers=(((3,), (3,)), ((0, 1), (0, 2))),
+        preferred_element_type=jnp.float32,
+    ) * (1.0 / math.sqrt(d))  # [B, H, Tq, S]
+    scores = jnp.where(valid, scores, _NEG_INF)
+    weights = jax.nn.softmax(scores, axis=-1)
+    out = lax.dot_general(
+        weights.astype(v.dtype),
+        v,
+        dimension_numbers=(((3,), (1,)), ((0, 1), (0, 2))),
+        preferred_element_type=jnp.float32,
+    )  # [B, H, Tq, d]
+    return out.astype(out_dtype)
+
+
 def _init_proj_params(key: jax.Array, embed_dim: int, dtype) -> Params:
     k1, k2 = jax.random.split(key)
     s_in = 1.0 / math.sqrt(embed_dim)
@@ -139,7 +177,10 @@ class CausalKVAttention:
         return _init_proj_params(key, self.embed_dim, dtype)
 
     def init_state(self, batch_size: int, capacity: int, dtype=jnp.float32) -> State:
-        shape = (batch_size, self.num_heads, capacity, self.head_dim)
+        # Slot-major [B, slots, H, d]: an appended frame is one contiguous
+        # H*d row — see the module docstring for why this layout is load-
+        # bearing for the Pallas decode megakernel.
+        shape = (batch_size, capacity, self.num_heads, self.head_dim)
         return {
             "k": jnp.zeros(shape, dtype=dtype),
             "v": jnp.zeros(shape, dtype=dtype),
@@ -164,19 +205,24 @@ class CausalKVAttention:
             q, k, jnp.maximum(positions, 0), self.max_period, rope_cache=rope_cache
         )
 
-        q = q.transpose(0, 2, 1, 3)  # [B, H, T, d]
-        k = k.transpose(0, 2, 1, 3)
-        v = v.transpose(0, 2, 1, 3)
-
-        k_cache = lax.dynamic_update_slice(state["k"], k.astype(state["k"].dtype), (0, 0, widx, 0))
-        v_cache = lax.dynamic_update_slice(state["v"], v.astype(state["v"].dtype), (0, 0, widx, 0))
+        # k/v are already [B, T, H, d] — the slot-major cache appends them
+        # with NO transpose (one contiguous T*H*d block per stream).
+        k_cache = lax.dynamic_update_slice(state["k"], k.astype(state["k"].dtype), (0, widx, 0, 0))
+        v_cache = lax.dynamic_update_slice(state["v"], v.astype(state["v"].dtype), (0, widx, 0, 0))
         slot_pos = lax.dynamic_update_slice(state["slot_pos"], positions, (0, widx))
 
+        q = q.transpose(0, 2, 1, 3)  # [B, H, T, d]
         if T == 1 and flash_decode_enabled():
             from pocket_tts_tpu.ops.flash_decode import flash_decode_attention
 
+            # Opt-in kernel keeps its head-major [B, H, C, d] interface; the
+            # transpose is a real copy, acceptable on this non-default path.
             out = flash_decode_attention(
-                q[:, :, 0, :], k_cache, v_cache, slot_pos, positions[:, 0]
+                q[:, :, 0, :],
+                k_cache.transpose(0, 2, 1, 3),
+                v_cache.transpose(0, 2, 1, 3),
+                slot_pos,
+                positions[:, 0],
             )[:, :, None, :]
         else:
             # Query at absolute position p attends to slots holding positions
@@ -185,7 +231,7 @@ class CausalKVAttention:
                 (slot_pos[:, None, :] >= 0)
                 & (slot_pos[:, None, :] <= positions[:, :, None])
             )  # [B, T, cap]
-            out = _sdpa(q, k_cache, v_cache, valid[:, None])
+            out = _sdpa_slots(q, k_cache, v_cache, valid[:, None])
 
         out = out.transpose(0, 2, 1, 3).reshape(B, T, self.embed_dim)
         new_state = {"k": k_cache, "v": v_cache, "slot_pos": slot_pos}
@@ -236,7 +282,9 @@ class WindowedRingAttention:
         if capacity is None:
             # Smallest 128-aligned ring that always retains a full window.
             capacity = ((self.context + 127) // 128 + 1) * 128
-        shape = (batch_size, self.num_heads, capacity, self.head_dim)
+        # Slot-major, same as CausalKVAttention (uniform rule for the mesh
+        # sharding: every 4-D state leaf is [B, slots, H, d]).
+        shape = (batch_size, capacity, self.num_heads, self.head_dim)
         return {"k": jnp.zeros(shape, dtype=dtype), "v": jnp.zeros(shape, dtype=dtype)}
 
     def __call__(
@@ -248,7 +296,7 @@ class WindowedRingAttention:
         rope_cache: tuple | None = None,
     ) -> tuple[jnp.ndarray, State]:
         B, T, _ = x.shape
-        capacity = state["k"].shape[2]
+        capacity = state["k"].shape[1]
         assert capacity >= self.context + T, "ring must retain a full window plus the new chunk"
         pos = positions[:, 0]
 
@@ -257,23 +305,21 @@ class WindowedRingAttention:
 
         q, k = apply_rope(q, k, positions, self.max_period, rope_cache=rope_cache)
 
-        q = q.transpose(0, 2, 1, 3)
-        k = k.transpose(0, 2, 1, 3)
-        v = v.transpose(0, 2, 1, 3)
-
         # Shift-append ring: the cache stays ordered oldest -> newest, so the
         # update is a static slice + concat (contiguous copies, no gather or
         # scatter — those lower catastrophically on TPU for this shape).
         # Slot j then holds absolute position (pos + T) - capacity + j.
-        k_cache = jnp.concatenate([state["k"][:, :, T:], k.astype(state["k"].dtype)], axis=2)
-        v_cache = jnp.concatenate([state["v"][:, :, T:], v.astype(state["v"].dtype)], axis=2)
+        # Slot-major: k/v stay [B, T, H, d]; the shift is ONE contiguous move.
+        k_cache = jnp.concatenate([state["k"][:, T:], k.astype(state["k"].dtype)], axis=1)
+        v_cache = jnp.concatenate([state["v"][:, T:], v.astype(state["v"].dtype)], axis=1)
 
         slots = jnp.arange(capacity, dtype=jnp.int32)
         slot_pos = (pos + T - capacity)[:, None] + slots[None, :]  # [B, cap]
 
+        q = q.transpose(0, 2, 1, 3)  # [B, H, T, d]
         delta = positions[:, :, None] - slot_pos[:, None, :]  # [B, T, cap]
         valid = (slot_pos[:, None, :] >= 0) & (delta >= 0) & (delta < self.context)
-        out = _sdpa(q, k_cache, v_cache, valid[:, None])
+        out = _sdpa_slots(q, k_cache, v_cache, valid[:, None])
 
         out = out.transpose(0, 2, 1, 3).reshape(B, T, self.embed_dim)
         return linear(out, params["out_proj"]["weight"]), {"k": k_cache, "v": v_cache}

@@ -25,9 +25,13 @@ Numerics mirror the XLA oracle path:
   - GELU uses a polynomial erf (max abs err 1.5e-7; Mosaic lacks erf) — the
     only deliberate deviation, shared with ops/fused_ff
 
-The HBM cache append stays OUTSIDE (the kernel returns per-layer k_new/v_new;
-the caller's dynamic_update_slice happens in place under donation), so cache
-layout and every other path (prefill, batch, multichip) are untouched.
+The KV caches ride through the kernel as 2-D (C, H*d) slot-major views —
+a free reshape of the global [B, C, H, d] state layout (ops/attention.py) —
+and the kernel appends each layer's new (k, v) row IN PLACE via an aligned
+8-row HBM DMA on the aliased outputs (body_append; the two Mosaic
+primitives this relies on are pinned by scripts/mosaic_probe.py). Every
+other path (prefill, batch, multichip) consumes the same state layout
+through XLA.
 
 DEFAULT for the int8 B=1 decode path on TPU (POCKET_TTS_FUSED_BACKBONE=0
 opts out); requires int8-quantized params (param_dtype="int8"), B == 1,
@@ -98,18 +102,20 @@ def fused_interpret_enabled() -> bool:
 
 def select_modes(kv_bytes: int, capacity: int, head: bool = False) -> tuple[str, str]:
     """Resolve (attn_mode, block) for a capacity bucket, demoting choices
-    that would overflow the 16 MiB scoped-VMEM limit: hbatch materializes
-    f32 [H, C, d] temporaries (~4 MiB each at C=1024) past C=512, and quad's
-    8 MiB weight double-buffer plus >2 MiB of KV scratch measured 420 KiB
-    over the limit — the tri layout (6 MiB double-buffer) fits there.
+    that would overflow the 16 MiB scoped-VMEM limit: quad's 8 MiB weight
+    double-buffer plus >2 MiB of KV scratch measured 420 KiB over the limit
+    with the old lane-padded KV scratch — the tri layout (6 MiB
+    double-buffer) fits there.
+
+    The slot-major (C, E) KV scratch is unpadded (the old (H, C, d=64)
+    layout burned 2x VMEM padding d to 128 lanes), so these thresholds are
+    now conservative by ~kv_bytes; revisit with on-device measurements.
 
     head mode adds ~0.4 MB of resident blocks (win/hw/hx + the slot_pos
     output); tri at C=1024 measured within ~60 KiB of the limit WITHOUT
     them, so head demotes past-512 buckets to pair (4 MiB double-buffer,
     ~2 MiB more headroom than tri) instead."""
     attn_mode = fused_attn_mode()
-    if attn_mode == "hbatch" and capacity > 512:
-        attn_mode = "vpu"
     block = fused_block_mode()
     if block == "quad" and kv_bytes > 2 * 1024 * 1024:
         block = "pair" if head else "tri"
@@ -126,14 +132,12 @@ def fused_attn_mode() -> str:
     elementwise-multiply + reduce form is bitwise-identical (f32 multiply
     of cache-dtype values is exact) and measured ~70 us/step faster
     (benchmarks/kernel_micro.py: 752 -> 684 us at C=1024).
-    POCKET_TTS_FUSED_ATTN=mxu selects the old form; =hbatch selects an
-    all-heads-at-once [H, C] softmax form (bitwise-equal in interpret mode)
-    — measured a WASH standalone at C=512 (kernel_micro 625 vpu vs 680
-    hbatch; attention is only ~18 us of the step there) and it OOMs scoped
-    VMEM past C=512 (f32 [H, C, d] temporaries), so the dispatcher demotes
-    it to "vpu" for larger buckets. Kept as a measured negative result."""
+    POCKET_TTS_FUSED_ATTN=mxu selects the old form. The former "hbatch"
+    all-heads [H, C] softmax form (a measured wash at C=512, OOM past it —
+    BENCHMARKS.md) was retired by the slot-major (C, E) cache layout, whose
+    per-head reads are lane slices; the env value maps to "vpu"."""
     v = (os.environ.get("POCKET_TTS_FUSED_ATTN", "vpu") or "vpu").strip().lower()
-    return v if v in ("vpu", "mxu", "hbatch") else "vpu"
+    return v if v in ("vpu", "mxu") else "vpu"
 
 
 def fused_block_mode() -> str:
@@ -263,15 +267,19 @@ def _kernel(
     n_out_head = 2 if head else 1
     y_ref = refs[L2]
     spnew_ref = refs[L2 + 1] if head else None
-    # Aliased per-layer cache outputs, blocked to the single appended row
-    # (H, 1, d) whose position comes from the scalar-prefetched append
-    # index — the kernel writes each layer's new (k, v) row itself; the
-    # rest of the aliased buffer stays in place.
+    # Aliased per-layer cache outputs in ANY (HBM) space — the kernel DMAs
+    # each layer's new (k, v) row into them itself at the scalar-prefetched
+    # append index. Caches are 2-D (C, E) slot-major views (E = H*d lanes,
+    # exactly 128-tiled): a Blocked (H, 1, d) output window and any slice of
+    # the lane-padded (H, C, d=64) layout both violate Mosaic's tile rules
+    # on hardware (scripts/mosaic_probe.py pins the two legal primitives).
     knew_refs = refs[L2 + n_out_head : L2 + n_out_head + num_layers]
     vnew_refs = refs[L2 + n_out_head + num_layers : L2 + n_out_head + 2 * num_layers]
-    (x_s, lnx_s, q16, k16, v16, attn16, h1_s, yacc_s, kv_k, kv_v, sem_k, sem_v) = refs[
-        L2 + n_out_head + 2 * num_layers :
-    ]
+    (
+        x_s, lnx_s, q16, k16, v16, attn16, h1_s, yacc_s, kv_k, kv_v,
+        knrow_s, vnrow_s, kblk_s, vblk_s,
+        sem_k, sem_v, sem_nk, sem_nv, sem_ak, sem_av,
+    ) = refs[L2 + n_out_head + 2 * num_layers :]
 
     l = pl.program_id(0)
     p = pl.program_id(1)
@@ -329,10 +337,16 @@ def _kernel(
                 rows = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
                 bos8 = jnp.where(rows == 0, hw_ref[5, 0:128][None, :], 0.0)
                 sel = jnp.where(qpos_ref[2] == 1, bos8, hx_ref[:, :])
-                x_s[:, :] = jnp.dot(
-                    sel.astype(jnp.bfloat16),
-                    win_ref[:, :],  # stored bf16 (pack_backbone_head)
-                    preferred_element_type=jnp.float32,
+                # win holds raw int8 codes (bf16-exact) when input_linear is
+                # quantized; hw row 4 carries the per-output scale (unit for
+                # float weights) — bitwise the ops/linear int8 form.
+                x_s[:, :] = (
+                    jnp.dot(
+                        sel.astype(jnp.bfloat16),
+                        win_ref[:, :],  # stored bf16 (pack_backbone_head)
+                        preferred_element_type=jnp.float32,
+                    )
+                    * hw_ref[4, :][None, :]
                 )
             else:
                 x_s[:, :] = x_ref[:, :]
@@ -345,33 +359,58 @@ def _kernel(
         split_heads(rope(matmul_chunk(lnx_s[:, :], jq, _SQ)), q16)
         k_rot = rope(matmul_chunk(lnx_s[:, :], jk, _SK))
         split_heads(k_rot, k16)
+        # Stash the flat head-major new-k row (cache dtype — same rounding
+        # the append would apply) for body_append's 8-row block build.
+        knrow_s[:, :] = k_rot.astype(cache_dtype)
 
     def body_v(jv):
         v = matmul_chunk(lnx_s[:, :], jv, _SV)
         split_heads(v, v16)
+        vnrow_s[:, :] = v.astype(cache_dtype)
 
     def body_append():
-        # Write this layer's new (k, v) row into the ALIASED cache outputs
-        # (blocked to the appended row at the scalar-prefetched index) —
-        # replacing two dynamic-update-slice kernel launches per layer
-        # outside the kernel (the decode step is launch-count bound; see
-        # BENCHMARKS "scan-skeleton floor"). The whole-cache read DMA
-        # fetched the PRE-append cache; the written slot's pre-append
-        # slot_pos is -1 or >= qpos, so attention never uses its value
-        # this step either way.
+        # DMA this layer's new (k, v) row into the ALIASED HBM cache outputs
+        # at the scalar-prefetched append index — replacing two
+        # dynamic-update-slice kernel launches per layer outside the kernel
+        # (the decode step is launch-count bound; see BENCHMARKS
+        # "scan-skeleton floor"). Mosaic's tile rule forbids slicing a
+        # single (8,128)-tiled second-minor row, so the write is an ALIGNED
+        # 8-row block of the (C, E) cache: read the pre-append neighbor
+        # block from HBM (16 KiB, probe-validated; the VMEM cache copy
+        # cannot be row-sliced at a multiple-of-8 offset under bf16's
+        # (16, 128) tiling), substitute the new row at widx % 8, write the
+        # block back. body_tail waits the writes; the block scratch is only
+        # rewritten at the NEXT layer's append.
+        pltpu.make_async_copy(k_hbm[0], kv_k, sem_k).wait()
+        pltpu.make_async_copy(v_hbm[0], kv_v, sem_v).wait()
+        widx = qpos_ref[1]
+        base = pl.multiple_of((widx // 8) * 8, 8)
+        off = widx - base
+        rows = jax.lax.broadcasted_iota(jnp.int32, (8, E), 0)
+        wsl = pl.ds(base, 8)
         for i in range(num_layers):
             @pl.when(l == i)
             def _(i=i):
-                for h in range(H):
-                    knew_refs[i][h, 0, :] = k16[h, :].astype(knew_refs[i].dtype)
-                    vnew_refs[i][h, 0, :] = v16[h, :].astype(vnew_refs[i].dtype)
+                # Neighbors read from the OUTPUT alias (same HBM buffer on
+                # hardware; interpret mode initializes it from the input).
+                pltpu.make_async_copy(knew_refs[i].at[wsl, :], kblk_s, sem_nk).start()
+                pltpu.make_async_copy(vnew_refs[i].at[wsl, :], vblk_s, sem_nv).start()
+                pltpu.make_async_copy(knew_refs[i].at[wsl, :], kblk_s, sem_nk).wait()
+                pltpu.make_async_copy(vnew_refs[i].at[wsl, :], vblk_s, sem_nv).wait()
+        kblk_s[:, :] = jnp.where(rows == off, knrow_s[0, :][None, :], kblk_s[:, :])
+        vblk_s[:, :] = jnp.where(rows == off, vnrow_s[0, :][None, :], vblk_s[:, :])
+        for i in range(num_layers):
+            @pl.when(l == i)
+            def _(i=i):
+                pltpu.make_async_copy(kblk_s, knew_refs[i].at[wsl, :], sem_ak).start()
+                pltpu.make_async_copy(vblk_s, vnew_refs[i].at[wsl, :], sem_av).start()
 
     # ---- attention over the DMA'd cache + the current frame's (k, v), then
     # the out-projection (chunk jo of the still-resident block) + residual
     # + ln2
     def body_attn_out(jo):
-        pltpu.make_async_copy(k_hbm[0], kv_k, sem_k).wait()
-        pltpu.make_async_copy(v_hbm[0], kv_v, sem_v).wait()
+        # Cache-read DMAs were drained by body_append (always precedes this
+        # in every layout); kv_k / kv_v are resident here.
         qp = qpos_ref[0]
         # Strictly-less-than: the qpos entry enters only via the algebraic
         # self term below, so a stale slot that ever held position == qpos
@@ -380,43 +419,17 @@ def _kernel(
         # this is equivalent to <= today.
         valid = (sp_ref[0][:, None] >= 0) & (sp_ref[0][:, None] < qp)  # [C, 1]
         scale = 1.0 / math.sqrt(d)
-        if attn_mode == "hbatch":
-            # ALL heads in one shot, softmax over the LANE dimension. The
-            # per-head forms below produce [C, 1] scores — C lands in
-            # sublanes, so every transcendental/select runs one lane wide
-            # (1/128th utilization) and the 16-head python loop replays it
-            # all. Here scores are [H, C] (C in lanes): one fully packed
-            # exp/max/sum for the whole layer. Numerics keep the oracle's
-            # roundings (q and softmax weights round-trip through the cache
-            # dtype; all products accumulate in f32).
-            qc = q16[:, :].astype(cache_dtype).astype(jnp.float32)  # [H, d]
-            kf = kv_k[:, :, :].astype(jnp.float32)  # [H, C, d]
-            scores = jnp.sum(kf * qc[:, None, :], axis=2) * scale  # [H, C]
-            vrow = (sp_ref[0] >= 0) & (sp_ref[0] < qp)  # [C]
-            scores = jnp.where(vrow[None, :], scores, _NEG_INF)
-            kc = k16[:, :].astype(cache_dtype).astype(jnp.float32)
-            s_self = jnp.sum(qc * kc, axis=1, keepdims=True) * scale  # [H, 1]
-            m = jnp.maximum(jnp.max(scores, axis=1, keepdims=True), s_self)
-            e = jnp.exp(scores - m)  # [H, C]
-            e_self = jnp.exp(s_self - m)  # [H, 1]
-            denom = jnp.sum(e, axis=1, keepdims=True) + e_self  # [H, 1]
-            w = (e / denom).astype(cache_dtype).astype(jnp.float32)  # [H, C]
-            out = jnp.sum(
-                w[:, :, None] * kv_v[:, :, :].astype(jnp.float32), axis=1
-            )  # [H, d]
-            w_self = (e_self / denom).astype(cache_dtype).astype(jnp.float32)
-            v_self = v16[:, :].astype(cache_dtype).astype(jnp.float32)
-            attn16[:, :] = out + w_self * v_self
-        for h in range(H if attn_mode != "hbatch" else 0):
+        for h in range(H):
             # Numerics mirror ops/attention._sdpa exactly: q is cast to the
             # cache dtype BEFORE the score product (f32 accumulation), the
             # 1/sqrt(d) scale applies to the f32 scores, and the softmax
             # weights are rounded to the cache dtype for the PV product. The
             # current frame's (k, v) take the same roundings they would have
-            # had as appended cache entries.
+            # had as appended cache entries. Head h reads a STATIC 64-lane
+            # column slice of the (C, E) cache copy (probe P2).
             q_h = q16[h, :].astype(cache_dtype)  # [d]
-            k_h = kv_k[h]  # [C, d] cache dtype
-            v_h = kv_v[h]
+            k_h = kv_k[:, h * d : (h + 1) * d]  # [C, d] cache dtype
+            v_h = kv_v[:, h * d : (h + 1) * d]
             if attn_mode == "skip":  # kernel-phase profiling only
                 attn16[h, :] = q16[h, :]
                 continue
@@ -534,6 +547,14 @@ def _kernel(
                 yacc_s[:, :] = yacc_s[:, :] + part
 
     def body_tail():
+        # Drain this layer's append DMAs (started in body_append) before the
+        # block scratch is rewritten next layer.
+        wsl = pl.ds(pl.multiple_of((qpos_ref[1] // 8) * 8, 8), 8)
+        for i in range(num_layers):
+            @pl.when(l == i)
+            def _(i=i):
+                pltpu.make_async_copy(kblk_s, knew_refs[i].at[wsl, :], sem_ak).wait()
+                pltpu.make_async_copy(vblk_s, vnew_refs[i].at[wsl, :], sem_av).wait()
         # ff2's per-output scale applies once to the full accumulation (the
         # four chunks split the contraction, not the outputs).
         x_s[0, :] = x_s[0, :] + yacc_s[0, :] * s_ref[0, _SFF2, :]
@@ -703,12 +724,25 @@ def pack_backbone_head(flow_params) -> dict:
     (reference math: pocket_tts_mlx/models/flow_lm.py:88-116). Returns:
       win  bf16 [128, E] — input_linear^T, zero-padded rows (ldim <= 128)
       hw   f32 [8, E]   — row 0/1 out_norm w/b, row 2 eos w, row 3 eos bias
-                          (broadcast across lanes), row 5[:ldim] bos_emb
+                          (broadcast across lanes), row 4 input_linear
+                          per-output scale, row 5[:ldim] bos_emb
     ~0.5 MB total, fetched once per kernel invocation (index-constant
     blocks) — the in-kernel head replaces the where+input-linear+out-norm+
-    eos-linear XLA launches that the scan paid per frame."""
-    w_in = flow_params["input_linear"]["weight"]  # [E, ldim]
-    E, ldim = int(w_in.shape[0]), int(w_in.shape[1])
+    eos-linear XLA launches that the scan paid per frame.
+
+    input_linear arrives int8-quantized in production (quantize_int8 covers
+    the "input_linear" subtree): win then stores the RAW int8 codes cast to
+    bf16 (exact — |codes| <= 127) and hw row 4 the per-output f32 scale, so
+    the in-kernel bf16 matmul + f32 scale is bitwise-identical to the XLA
+    oracle (ops/linear int8 form). A float weight packs with unit scales."""
+    w_in = flow_params["input_linear"]["weight"]  # [E, ldim] | {"q","s"}
+    if isinstance(w_in, dict):
+        w_raw = w_in["q"].astype(jnp.float32)  # int8 codes, exact in bf16
+        w_scale = w_in["s"].astype(jnp.float32)  # [E]
+    else:
+        w_raw = w_in.astype(jnp.float32)
+        w_scale = jnp.ones((w_in.shape[0],), jnp.float32)
+    E, ldim = int(w_raw.shape[0]), int(w_raw.shape[1])
     if ldim > 128:
         raise ValueError(f"fused head supports latent_dim <= 128; got {ldim}")
     # bf16 storage: the in-kernel matmul consumes bf16 operands anyway, so
@@ -716,7 +750,7 @@ def pack_backbone_head(flow_params) -> dict:
     # and it halves the largest resident head block (VMEM headroom at the
     # big capacity buckets is measured in tens of KiB).
     win = jnp.zeros((128, E), jnp.bfloat16).at[:ldim].set(
-        w_in.T.astype(jnp.float32).astype(jnp.bfloat16)
+        w_raw.T.astype(jnp.bfloat16)
     )
     hw = (
         jnp.zeros((8, E), jnp.float32)
@@ -724,6 +758,7 @@ def pack_backbone_head(flow_params) -> dict:
         .at[1].set(flow_params["out_norm"]["bias"].astype(jnp.float32))
         .at[2].set(flow_params["out_eos"]["weight"][0].astype(jnp.float32))
         .at[3].set(jnp.full((E,), flow_params["out_eos"]["bias"][0], jnp.float32))
+        .at[4].set(w_scale)
         .at[5, :ldim].set(flow_params["bos_emb"].astype(jnp.float32))
     )
     return {"win": jax.device_put(win), "hw": jax.device_put(hw)}
@@ -750,7 +785,7 @@ def _invoke(
     E = head_packed["win"].shape[1] if head else x_in.shape[-1]
     H = num_heads
     d = E // H
-    C = k_caches[0].shape[2]
+    C = k_caches[0].shape[1]  # slot-major [1, C, H, d]
     cache_dtype = k_caches[0].dtype
 
     kernel = functools.partial(
@@ -765,6 +800,11 @@ def _invoke(
         head=head,
     )
 
+    # Caches ride as 2-D (C, E) slot-major views (free reshape of the
+    # [1, C, H, d] state layout), pinned to HBM on hardware so the aligned
+    # 8-row append DMA is legal (scripts/mosaic_probe.py P1). Interpret mode
+    # (CPU tests) keeps ANY — the CPU backend has no 'hbm' space.
+    cache_space = pl.ANY if interpret else pltpu.MemorySpace.HBM
     nblk = {"pair": 2, "quad": 4, "tri": 3}[block]
     blk_index = {"pair": _pair_index, "quad": _quad_index, "tri": _tri_index}[block]
     phases = {"pair": _PAIR_PHASES, "quad": _QUAD_PHASES, "tri": _TRI_PHASES}[block]
@@ -793,12 +833,13 @@ def _invoke(
             pl.BlockSpec((1, E), lambda l, p, _qp: (0, 0)),  # sf
             pl.BlockSpec((1, C), lambda l, p, _qp: (0, 0)),  # slot_pos
         ]
-        + [pl.BlockSpec(memory_space=pl.ANY)] * (2 * L),
+        + [pl.BlockSpec(memory_space=cache_space)] * (2 * L),
         out_specs=[pl.BlockSpec((8, E), lambda l, p, _qp: (0, 0))]  # y
         + head_out_specs
-        # Aliased caches, blocked to the appended row: the block position
-        # comes from the scalar-prefetched append index (qw[1]).
-        + [pl.BlockSpec((H, 1, d), lambda l, p, qw: (0, qw[1], 0))] * (2 * L),
+        # Aliased (C, E) caches in HBM: the kernel DMAs the appended row
+        # itself (body_append) via aligned 8-row blocks — the only append
+        # form Mosaic's tile rules accept on hardware.
+        + [pl.BlockSpec(memory_space=cache_space)] * (2 * L),
         scratch_shapes=[
             pltpu.VMEM((8, E), jnp.float32),  # x_s (residual stream)
             pltpu.VMEM((8, E), jnp.float32),  # lnx_s
@@ -808,10 +849,18 @@ def _invoke(
             pltpu.VMEM((H, d), jnp.float32),  # attn16
             pltpu.VMEM((8, 4 * E), jnp.bfloat16),  # h1_s (bf16: see body_ff1)
             pltpu.VMEM((8, E), jnp.float32),  # yacc_s
-            pltpu.VMEM((H, C, d), cache_dtype),  # kv_k
-            pltpu.VMEM((H, C, d), cache_dtype),  # kv_v
+            pltpu.VMEM((C, E), cache_dtype),  # kv_k (unpadded lanes: E = H*d)
+            pltpu.VMEM((C, E), cache_dtype),  # kv_v
+            pltpu.VMEM((8, E), cache_dtype),  # knrow_s (flat new k row)
+            pltpu.VMEM((8, E), cache_dtype),  # vnrow_s
+            pltpu.VMEM((8, E), cache_dtype),  # kblk_s (aligned append block)
+            pltpu.VMEM((8, E), cache_dtype),  # vblk_s
             pltpu.SemaphoreType.DMA,  # sem_k (cache read)
             pltpu.SemaphoreType.DMA,  # sem_v
+            pltpu.SemaphoreType.DMA,  # sem_nk (append neighbor read)
+            pltpu.SemaphoreType.DMA,  # sem_nv
+            pltpu.SemaphoreType.DMA,  # sem_ak (append write)
+            pltpu.SemaphoreType.DMA,  # sem_av
         ],
     )
 
@@ -837,7 +886,7 @@ def _invoke(
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((8, E), jnp.float32)]
         + ([jax.ShapeDtypeStruct((1, C), jnp.int32)] if head else [])
-        + [jax.ShapeDtypeStruct((H, C, d), cache_dtype)] * (2 * L),
+        + [jax.ShapeDtypeStruct((C, E), cache_dtype)] * (2 * L),
         input_output_aliases=aliases,
         interpret=interpret,
     )(
@@ -849,8 +898,10 @@ def _invoke(
         cf,
         sf,
         slot_pos,
-        *[k[0] for k in k_caches],
-        *[v[0] for v in v_caches],
+        # [1, C, H, d] -> (C, E): a contiguous bitcast, so the in/out
+        # aliasing stays copy-free under donation.
+        *[k[0].reshape(C, E) for k in k_caches],
+        *[v[0].reshape(C, E) for v in v_caches],
     )
     return outs
 
@@ -870,7 +921,7 @@ def _rope_rows(cos, sin, H):
 def fused_backbone_decode(
     packed: dict,
     x: jnp.ndarray,  # [1, E] f32 — the embedded decode token
-    k_caches: tuple,  # L x [1, H, C, d] (cache dtype)
+    k_caches: tuple,  # L x [1, C, H, d] slot-major (cache dtype)
     v_caches: tuple,
     slot_pos: jnp.ndarray,  # [1, C] int32 (pre-append)
     qpos: jnp.ndarray,  # [1] int32
@@ -880,11 +931,11 @@ def fused_backbone_decode(
     num_heads: int = 16,
     interpret: bool = False,
     int8_act: bool = False,
-    attn_mode: str = "mxu",  # "mxu" | "vpu" | "hbatch" | "skip" (profiling)
+    attn_mode: str = "mxu",  # "mxu" | "vpu" | "skip" (profiling)
     block: str = "pair",  # "pair" | "quad" (4 MiB) | "tri" (3 MiB)
 ):
     """Run the full backbone decode step (body only) -> (y [1, E] f32,
-    k_caches', v_caches': L x [H, C, d] UPDATED caches, cache dtype).
+    k_caches', v_caches': L x [C, H, d] UPDATED caches, cache dtype).
 
     The kernel appends the new (k, v) row at `widx` itself, writing the
     ALIASED cache buffers in place via async DMA — the caller's 12 per-frame
@@ -895,7 +946,7 @@ def fused_backbone_decode(
     if widx is None:  # keyword-style call sites; fail clearly, not inside jit
         raise TypeError("fused_backbone_decode requires widx (append index)")
     E = x.shape[-1]
-    C = k_caches[0].shape[2]
+    C = k_caches[0].shape[1]
     # Clamp like the dynamic_update_slice this append replaced: an
     # out-of-range block offset on the aliased cache output would address
     # past the buffer instead of clamping to the last row.
@@ -906,12 +957,17 @@ def fused_backbone_decode(
     cf, sf = _rope_rows(cos, sin, num_heads)
     x8 = jnp.zeros((8, E), jnp.float32).at[0].set(x[0].astype(jnp.float32))
     L = len(k_caches)
+    H, d = num_heads, E // num_heads
     outs = _invoke(
         packed, None, x8, scalars, k_caches, v_caches, slot_pos, cf, sf,
         num_heads, interpret, int8_act, attn_mode, block,
     )
     y = outs[0]
-    return y[0][None, :], tuple(outs[1 : 1 + L]), tuple(outs[1 + L :])
+    return (
+        y[0][None, :],
+        tuple(o.reshape(C, H, d) for o in outs[1 : 1 + L]),
+        tuple(o.reshape(C, H, d) for o in outs[1 + L :]),
+    )
 
 
 @functools.partial(
@@ -923,7 +979,7 @@ def fused_backbone_step(
     head_packed: dict,  # pack_backbone_head output (win, hw)
     latent: jnp.ndarray,  # [1, ldim] f32 — previous latent (ignored at BOS)
     is_bos: jnp.ndarray,  # [1] bool
-    k_caches: tuple,  # L x [1, H, C, d] (cache dtype)
+    k_caches: tuple,  # L x [1, C, H, d] slot-major (cache dtype)
     v_caches: tuple,
     slot_pos: jnp.ndarray,  # [1, C] int32 (pre-append)
     qpos: jnp.ndarray,  # [1] int32
@@ -951,7 +1007,7 @@ def fused_backbone_step(
     """
     L = len(k_caches)
     ldim = latent.shape[-1]
-    C = k_caches[0].shape[2]
+    C = k_caches[0].shape[1]
     scalars = jnp.concatenate(
         [
             qpos.astype(jnp.int32),
@@ -972,4 +1028,12 @@ def fused_backbone_step(
     y, spnew = outs[0], outs[1]
     h = y[0][None, :]
     eos_logit = y[1, 0][None]
-    return h, eos_logit, tuple(outs[2 : 2 + L]), tuple(outs[2 + L :]), spnew
+    E = head_packed["win"].shape[1]
+    H, d = num_heads, E // num_heads
+    return (
+        h,
+        eos_logit,
+        tuple(o.reshape(C, H, d) for o in outs[2 : 2 + L]),
+        tuple(o.reshape(C, H, d) for o in outs[2 + L :]),
+        spnew,
+    )

@@ -647,7 +647,7 @@ def fused_segment_decode(
     latent: jnp.ndarray,  # [1, ldim] f32 — carry latent entering the segment
     is_bos: jnp.ndarray,  # [1] bool — whole-generation BOS (frame 0 only)
     noise: jnp.ndarray,  # [S, ldim] f32 — pre-drawn flow noise (temp applied)
-    k_caches: tuple,  # L x [1, H, C, d] cache dtype
+    k_caches: tuple,  # L x [1, C, H, d] slot-major cache dtype
     v_caches: tuple,
     slot_pos: jnp.ndarray,  # [1, C] int32 (pre-segment)
     qpos0: jnp.ndarray,  # [1] int32 — first frame's absolute position
@@ -670,7 +670,7 @@ def fused_segment_decode(
     E = head_packed["win"].shape[1]
     H = num_heads
     d = E // H
-    C = k_caches[0].shape[2]
+    C = k_caches[0].shape[1]
     S = seg_frames
     ldim = latent.shape[-1]
     cache_dtype = k_caches[0].dtype
@@ -798,11 +798,15 @@ def fused_segment_decode(
         flow_packed["fchunks"],
         flow_packed["fparams"][:64],
         slot_pos,
-        *[k[0] for k in k_caches],
-        *[v[0] for v in v_caches],
+        # The public cache layout is slot-major (C, H, d); this kernel holds
+        # the whole KV in VMEM as (H, C, d), so convert at the boundary.
+        *[jnp.transpose(k[0], (1, 0, 2)) for k in k_caches],
+        *[jnp.transpose(v[0], (1, 0, 2)) for v in v_caches],
     )
     lat = outs[0]
     latents = lat[:, :ldim]
     eos_logits = lat[:, ldim]
     spnew = outs[1]
-    return latents, eos_logits, tuple(outs[2 : 2 + L]), tuple(outs[2 + L :]), spnew
+    new_ks = tuple(jnp.transpose(o, (1, 0, 2)) for o in outs[2 : 2 + L])
+    new_vs = tuple(jnp.transpose(o, (1, 0, 2)) for o in outs[2 + L :])
+    return latents, eos_logits, new_ks, new_vs, spnew

@@ -227,7 +227,7 @@ class StreamingTransformer:
         buffers + activations). Past ~8 MB of KV scratch (C=2048 bf16) the
         kernel would fail to compile — long-context sessions fall back to the
         XLA path for those (rare) capacity buckets."""
-        k = state["layers"][0]["k"]  # [B, H, C, d]
+        k = state["layers"][0]["k"]  # [B, C, H, d] slot-major
         kv_bytes = 2 * k.shape[1] * k.shape[2] * k.shape[3] * k.dtype.itemsize
         return kv_bytes <= 8 * 1024 * 1024
 
@@ -248,9 +248,9 @@ class StreamingTransformer:
 
         cos, sin = rope_cache  # [1, 1, 1, d/2]
         layers = state["layers"]
-        k0 = layers[0]["k"]
+        k0 = layers[0]["k"]  # [1, C, H, d] slot-major
         kv_bytes = 2 * k0.shape[1] * k0.shape[2] * k0.shape[3] * k0.dtype.itemsize
-        attn_mode, block = select_modes(kv_bytes, k0.shape[2])
+        attn_mode, block = select_modes(kv_bytes, k0.shape[1])
         # The kernel appends the new (k, v) row at widx itself (aliased
         # cache outputs + in-kernel DMA): the 12 per-frame
         # dynamic_update_slice launches this loop used to issue were a

@@ -71,7 +71,8 @@ def shard_params(mesh: Mesh, params: dict) -> dict:
 
 def state_sharding_spec(batch_size: int, dp: int = 1, tp: int = 1):
     """Spec callable: shard dim 0 over dp for every per-stream leaf; 4-D
-    leaves are the KV caches [B, H, capacity, d], whose head axis shards
+    leaves are the KV caches — slot-major [B, slots, H, d] for BOTH
+    attention flavors (ops/attention.py) — whose head axis (dim 2) shards
     over tp to match the head-parallel attention weights.
 
     Axes that do not divide evenly (e.g. a B=1 voice row on a dp>1 mesh, or
@@ -82,8 +83,8 @@ def state_sharding_spec(batch_size: int, dp: int = 1, tp: int = 1):
             return P()
         dp_ax = "dp" if batch_size % max(dp, 1) == 0 else None
         if leaf.ndim == 4:
-            tp_ax = "tp" if leaf.shape[1] % max(tp, 1) == 0 else None
-            return P(dp_ax, tp_ax, None, None)
+            tp_ax = "tp" if leaf.shape[2] % max(tp, 1) == 0 else None
+            return P(dp_ax, None, tp_ax, None)
         return P(dp_ax, *([None] * (leaf.ndim - 1)))
 
     return spec
