@@ -54,15 +54,16 @@ def main() -> None:
     q = quantize_int8({"flow_lm": {"transformer": params}}, subtrees=("transformer",))
     packed = pack_backbone_int8(q["flow_lm"]["transformer"]["layers"])
 
+    # Slot-major [1, C, H, d] — the global cache layout (ops/attention.py).
     ks = tuple(
         jax.device_put(
-            jax.random.normal(jax.random.PRNGKey(10 + i), (1, H, C, 64)).astype(jnp.bfloat16)
+            jax.random.normal(jax.random.PRNGKey(10 + i), (1, C, H, 64)).astype(jnp.bfloat16)
         )
         for i in range(L)
     )
     vs = tuple(
         jax.device_put(
-            jax.random.normal(jax.random.PRNGKey(20 + i), (1, H, C, 64)).astype(jnp.bfloat16)
+            jax.random.normal(jax.random.PRNGKey(20 + i), (1, C, H, 64)).astype(jnp.bfloat16)
         )
         for i in range(L)
     )
@@ -123,12 +124,12 @@ def main() -> None:
         (True, "skip", "pair"),
     ]
     if C <= 512:
-        # quad blocks and hbatch exceed the 16 MiB scoped-VMEM limit past
-        # C=512 (this harness calls the kernel directly, bypassing the
-        # dispatcher demotion in ops/transformer._fused_decode).
+        # quad blocks exceed the 16 MiB scoped-VMEM limit past C=512 (this
+        # harness calls the kernel directly, bypassing the dispatcher
+        # demotion in ops/transformer._fused_decode). The former hbatch
+        # attention form was retired by the slot-major cache layout.
         variants += [
             (False, "vpu", "quad"),
-            (False, "hbatch", "pair"),
             (True, "skip", "quad"),
         ]
     for int8_act, attn_mode, block in variants:

@@ -71,13 +71,13 @@ def main() -> None:
 
     ks = tuple(
         jax.device_put(
-            jax.random.normal(jax.random.PRNGKey(10 + i), (1, H, C, 64)).astype(jnp.bfloat16)
+            jax.random.normal(jax.random.PRNGKey(10 + i), (1, C, H, 64)).astype(jnp.bfloat16)
         )
         for i in range(L)
     )
     vs = tuple(
         jax.device_put(
-            jax.random.normal(jax.random.PRNGKey(20 + i), (1, H, C, 64)).astype(jnp.bfloat16)
+            jax.random.normal(jax.random.PRNGKey(20 + i), (1, C, H, 64)).astype(jnp.bfloat16)
         )
         for i in range(L)
     )

@@ -225,7 +225,7 @@ def _probe_fused_compile(model) -> None:
     d = E // H
     C = 512
     sds = jax.ShapeDtypeStruct
-    kv = tuple(sds((1, H, C, d), model.state_dtype) for _ in range(L))
+    kv = tuple(sds((1, C, H, d), model.state_dtype) for _ in range(L))  # slot-major
     sp = sds((1, C), jnp.int32)
     i32 = sds((1,), jnp.int32)
     cs = sds((d // 2,), jnp.float32)

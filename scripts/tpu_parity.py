@@ -316,8 +316,6 @@ def main() -> None:
         # (vpu, quad) is the C<=512 production default; (vpu, tri) ships for
         # C>512; the rest pin the opt-in forms on real hardware.
         variants = [("vpu", "quad"), ("vpu", "tri"), ("vpu", "pair"), ("mxu", "pair")]
-        if C <= 512:
-            variants.append(("hbatch", "quad"))
         for attn_mode, block in variants:
             if block == "quad" and C > 512:
                 continue  # dispatcher demotes these; kernel would blow VMEM

@@ -45,7 +45,6 @@ def setup():
         ("vpu", "pair"),
         ("vpu", "quad"),
         ("vpu", "tri"),
-        ("hbatch", "quad"),
     ],
 )
 def test_kernel_matches_oracle_step(setup, attn_mode, block):
