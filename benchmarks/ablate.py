@@ -210,7 +210,12 @@ def main() -> None:
                     last = audio
                 return float(jax.device_get(jnp.sum(last[:, -1, -8:])))
 
-            chain(2)
+            try:
+                chain(2)
+            except Exception as e:  # noqa: BLE001 — A/B variant must not kill the sweep
+                print(f"{tag:12s} failed to compile/run on this backend: "
+                      f"{str(e).splitlines()[0][:160]}", flush=True)
+                continue
             best = min(_timed(chain, args.segments) for _ in range(args.repeats))
             ms = best * 1000 / (args.segments * S)
             print(f"{tag:12s} {ms:.3f} ms/frame (best of {args.repeats})", flush=True)

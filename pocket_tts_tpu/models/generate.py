@@ -238,7 +238,10 @@ def make_segment_fn(
                 is_eos,
             )
 
-        if _segment_kernel_ok(flow_lm, flow_params, flow_state, B, lsd_decode_steps):
+        if (
+            _segment_kernel_ok(flow_lm, flow_params, flow_state, B, lsd_decode_steps)
+            and noise_seq.shape[0] % 8 == 0  # frame groups (fused_segment)
+        ):
             # Whole-segment Mosaic kernel (ops/fused_segment.py, opt-in):
             # ALL S frames — input proj, backbone, head, flow ODE, KV/slot
             # appends — in one program; no per-frame launches at all.

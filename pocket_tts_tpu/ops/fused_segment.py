@@ -237,9 +237,9 @@ def _seg_kernel(
     w_ref,  # [1, 2, E, E] int8 — backbone weight pair (TRANSPOSED [in, out])
     s_ref,  # [1, 12, E] f32 — per-chunk output scales
     ln_ref,  # [1, 4, E] f32 — per-layer LN params
-    cf_ref,  # [1, E] f32 — THIS frame's rope cos row
-    sf_ref,  # [1, E] f32
-    noise_ref,  # [1, MC] f32 — THIS frame's flow starting noise (lanes >= ldim zero)
+    cf_ref,  # [8, E] f32 — rope cos rows for this frame GROUP (row s % 8)
+    sf_ref,  # [8, E] f32
+    noise_ref,  # [8, MC] f32 — flow starting noise rows (lanes >= ldim zero)
     f_ref,  # [1, 2*MC, 2*MC] bf16 — current flow chunk (4 quadrants)
     fp_ref,  # [64, MC] f32 — flow biases / LN params / tcomb (pack_flow_bf16)
     sp_ref,  # [1, C] int32 — slot positions (pre-segment)
@@ -254,13 +254,14 @@ def _seg_kernel(
 ):
     L = num_layers
     (k_hbm, v_hbm) = refs[:L], refs[L : 2 * L]
-    lat_ref = refs[2 * L]  # [1, 128] f32 out block (this frame's latent + eos)
+    lat_ref = refs[2 * L]  # [8, 128] f32 out block (frame GROUP's latents + eos)
     spnew_ref = refs[2 * L + 1]  # [1, C] int32 out (aliased)
-    ko = refs[2 * L + 2 : 2 * L + 2 + L]  # ANY outs aliased to k_hbm
+    ko = refs[2 * L + 2 : 2 * L + 2 + L]  # HBM (C, E) outs aliased to k_hbm
     vo = refs[2 * L + 2 + L : 2 * L + 2 + 2 * L]
     (
         x_s, lnx_s, q16, k16, v16, attn16, h1_s, yacc_s, kv_k, kv_v,
-        lat_s, h_s, ada_s, fx_s, fy_s, stage_k, stage_v,
+        lat_s, h_s, ada_s, fx_s, fy_s,
+        krow_s, vrow_s, kblk_s, vblk_s, cfrow_s,
         sem_k, sem_v, sem_w,
     ) = refs[2 * L + 2 + 2 * L :]
 
@@ -289,8 +290,11 @@ def _seg_kernel(
         return y * s_ref[0, srow, :][None, :]
 
     def rope(x):
-        cf = cf_ref[0][None, :]
-        sf = sf_ref[0][None, :]
+        # This frame's rope rows were extracted into scratch at layer 0
+        # (the (8, E) input block covers the whole frame GROUP; Mosaic
+        # forbids (1, E) second-minor blocks on hardware).
+        cf = cfrow_s[0][None, :]
+        sf = cfrow_s[1][None, :]
         n = x.shape[1]
         left = pltpu.roll(x, shift=n - 1, axis=1)
         right = pltpu.roll(x, shift=1, axis=1)
@@ -312,15 +316,28 @@ def _seg_kernel(
     def body_layer_start():
         @pl.when(l == 0)
         def _():
+            # Extract THIS frame's rope rows from the (8, E) group block
+            # (row s % 8) — shared by every layer's rope below.
+            rows_e = jax.lax.broadcasted_iota(jnp.int32, (8, E), 0)
+            frow = s % 8
+            cfrow_s[0:1, :] = jnp.sum(
+                jnp.where(rows_e == frow, cf_ref[:, :], 0.0), axis=0, keepdims=True
+            )
+            cfrow_s[1:2, :] = jnp.sum(
+                jnp.where(rows_e == frow, sf_ref[:, :], 0.0), axis=0, keepdims=True
+            )
             # Input projection from the recurrent latent (frame 0 selects
             # carry latent vs BOS; later frames read the flow output).
             rows = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
             bos8 = jnp.where(rows == 0, hw_ref[5, 0:128][None, :], 0.0)
             first = jnp.where(sc_ref[2] == 1, bos8, hx_ref[:, :])
             src = jnp.where(s == 0, first, lat_s[:, :])
-            x_s[:, :] = jnp.dot(
-                src.astype(jnp.bfloat16), win_ref[:, :],
-                preferred_element_type=jnp.float32,
+            x_s[:, :] = (
+                jnp.dot(
+                    src.astype(jnp.bfloat16), win_ref[:, :],
+                    preferred_element_type=jnp.float32,
+                )
+                * hw_ref[4, :][None, :]
             )
 
         # Layer 0's cache DMA starts here ONLY at the segment's first frame;
@@ -342,30 +359,47 @@ def _seg_kernel(
 
     def body_qk(jq, jk):
         split_heads(rope(matmul_chunk(lnx_s[:, :], jq, 0)), q16)
-        split_heads(rope(matmul_chunk(lnx_s[:, :], jk, 1)), k16)
+        k_rot = rope(matmul_chunk(lnx_s[:, :], jk, 1))
+        split_heads(k_rot, k16)
+        # Stash the flat new-k row (cache dtype — the rounding the append
+        # applies) for the aligned append block below.
+        krow_s[:, :] = k_rot.astype(cache_dtype)
 
     def body_v_append(jv):
         v = matmul_chunk(lnx_s[:, :], jv, 2)
         split_heads(v, v16)
-        # Stage this layer's new (k, v) row and DMA it STRAIGHT into the
-        # aliased HBM cache at row widx — the wait right after keeps every
-        # later read of this layer ordered behind the write. The row is
-        # masked out of THIS frame's attention (strict '< widx0 + s'); the
-        # current frame enters the softmax algebraically instead.
-        for h in range(H):
-            stage_k[h, 0, :] = k16[h, :].astype(stage_k.dtype)
-            stage_v[h, 0, :] = v16[h, :].astype(stage_v.dtype)
+        vrow_s[:, :] = v.astype(cache_dtype)
+        # Append this layer's new (k, v) row into the aliased HBM (C, E)
+        # caches at row widx. Mosaic's tile rules forbid single-row HBM
+        # slices, so the write is an aligned 8-row read-modify-write
+        # (scripts/mosaic_probe.py P1): fetch the neighbor block, substitute
+        # the new row at widx % 8, write it back. The waits keep every later
+        # read of this layer ordered behind the write; rows != widx are
+        # rewritten byte-identical, and row widx is masked out of THIS
+        # frame's attention (strict '< widx') — the current frame enters
+        # the softmax algebraically instead.
+        base = pl.multiple_of((widx // 8) * 8, 8)
+        off = widx - base
+        rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, E), 0)
+        wsl = pl.ds(base, 8)
         for i in range(L):
             @pl.when(l == i)
             def _(i=i):
-                cp = pltpu.make_async_copy(
-                    stage_k, ko[i].at[:, pl.ds(widx, 1), :], sem_w
-                )
+                cp = pltpu.make_async_copy(ko[i].at[wsl, :], kblk_s, sem_w)
                 cp.start()
                 cp.wait()
-                cp = pltpu.make_async_copy(
-                    stage_v, vo[i].at[:, pl.ds(widx, 1), :], sem_w
-                )
+                cp = pltpu.make_async_copy(vo[i].at[wsl, :], vblk_s, sem_w)
+                cp.start()
+                cp.wait()
+        kblk_s[:, :] = jnp.where(rows8 == off, krow_s[0, :][None, :], kblk_s[:, :])
+        vblk_s[:, :] = jnp.where(rows8 == off, vrow_s[0, :][None, :], vblk_s[:, :])
+        for i in range(L):
+            @pl.when(l == i)
+            def _(i=i):
+                cp = pltpu.make_async_copy(kblk_s, ko[i].at[wsl, :], sem_w)
+                cp.start()
+                cp.wait()
+                cp = pltpu.make_async_copy(vblk_s, vo[i].at[wsl, :], sem_w)
                 cp.start()
                 cp.wait()
 
@@ -380,10 +414,14 @@ def _seg_kernel(
         ) | ((rows_c >= sc_ref[1]) & (rows_c < widx))
         scale = 1.0 / math.sqrt(d)
         for h in range(H):
+            # Head h reads a STATIC 64-lane column slice of the (C, E)
+            # slot-major cache copy (scripts/mosaic_probe.py P2).
             q_h = q16[h, :].astype(cache_dtype)
+            k_h = kv_k[:, h * d : (h + 1) * d]
+            v_h = kv_v[:, h * d : (h + 1) * d]
             scores = (
                 jnp.sum(
-                    kv_k[h].astype(jnp.float32) * q_h.astype(jnp.float32)[None, :],
+                    k_h.astype(jnp.float32) * q_h.astype(jnp.float32)[None, :],
                     axis=1,
                     keepdims=True,
                 )
@@ -402,7 +440,7 @@ def _seg_kernel(
             e_self = jnp.exp(s_self - m)
             denom = jnp.sum(e) + e_self
             w = (e / denom).astype(cache_dtype)
-            out = jnp.sum(w.astype(jnp.float32) * kv_v[h].astype(jnp.float32), axis=0)
+            out = jnp.sum(w.astype(jnp.float32) * v_h.astype(jnp.float32), axis=0)
             w_self = (e_self / denom).astype(cache_dtype).astype(jnp.float32)
             v_self = v16[h, :].astype(cache_dtype).astype(jnp.float32)
             attn16[h, :] = out + w_self * v_self
@@ -464,7 +502,10 @@ def _seg_kernel(
     def flow_p0():
         # chunk 0: Wc^T upper (0,0) / lower (0,1), Win^T (1,0).
         rows = jax.lax.broadcasted_iota(jnp.int32, (8, MC), 0)
-        noise8 = jnp.where(rows == 0, noise_ref[0][None, :], 0.0)
+        nrow = jnp.sum(
+            jnp.where(rows == s % 8, noise_ref[:, :], 0.0), axis=0
+        )  # this frame's noise row out of the (8, MC) group block
+        noise8 = jnp.where(rows == 0, nrow[None, :], 0.0)
         fy_s[:, :] = noise8  # stash x0 for the Euler update (fy free until y)
         xp = (
             jnp.dot(
@@ -551,9 +592,14 @@ def _seg_kernel(
         newlat = fy_s[:, :] + v  # Euler from x0 (stashed noise), num_steps=1
         lat_s[:, :] = newlat[:, :128]
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-        lat_ref[0:1, :] = jnp.where(
+        val = jnp.where(
             lane == ldim, h_s[1, :128][None, :], newlat[0:1, :128]
-        )
+        )  # [1, 128] — this frame's latent row + eos logit at lane ldim
+        # The output block covers the 8-frame GROUP (Mosaic forbids (1, 128)
+        # second-minor blocks); write row s % 8, leave the siblings alone —
+        # each is written exactly once before the block flushes.
+        rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        lat_ref[:, :] = jnp.where(rows8 == s % 8, val, lat_ref[:, :])
 
         @pl.when(s == seg_frames - 1)
         def _():
@@ -675,6 +721,9 @@ def fused_segment_decode(
     ldim = latent.shape[-1]
     cache_dtype = k_caches[0].dtype
     assert noise.shape[0] == S and cos.shape[0] == S
+    # The per-frame operand/latent blocks cover 8-frame groups (Mosaic
+    # forbids (1, X) second-minor blocks on hardware).
+    assert S % 8 == 0, f"seg_frames must be a multiple of 8; got {S}"
 
     scalars = jnp.concatenate(
         [qpos0.astype(jnp.int32), widx0.astype(jnp.int32), is_bos.astype(jnp.int32)]
@@ -701,6 +750,10 @@ def fused_segment_decode(
         block=block,
     )
 
+    # Caches ride as 2-D (C, E) slot-major views (free bitcast of the
+    # [1, C, H, d] state layout), pinned to HBM on hardware so the aligned
+    # 8-row append DMA is legal; interpret mode (CPU tests) keeps ANY.
+    cache_space = pl.ANY if interpret else pltpu.MemorySpace.HBM
     bph = _PHASES[block]
     nblk = {"pair": 2, "tri": 3}[block]
     blk_index = {"pair": _pair_index, "tri": _tri_index}[block]
@@ -724,9 +777,11 @@ def fused_segment_decode(
             pl.BlockSpec((1, nblk, E, E), wmap),  # backbone int8 block
             pl.BlockSpec((1, _NCHUNK, E), lmap),  # scales
             pl.BlockSpec((1, 4, E), lmap),  # ln
-            pl.BlockSpec((1, E), lambda s, p, _sc: (s, 0)),  # cf
-            pl.BlockSpec((1, E), lambda s, p, _sc: (s, 0)),  # sf
-            pl.BlockSpec((1, _MC), lambda s, p, _sc: (s, 0)),  # noise
+            # Per-frame rows ride in 8-row GROUP blocks (Mosaic forbids
+            # (1, X) second-minor blocks); the kernel selects row s % 8.
+            pl.BlockSpec((8, E), lambda s, p, _sc: (s // 8, 0)),  # cf
+            pl.BlockSpec((8, E), lambda s, p, _sc: (s // 8, 0)),  # sf
+            pl.BlockSpec((8, _MC), lambda s, p, _sc: (s // 8, 0)),  # noise
             pl.BlockSpec(
                 (1, 2 * _MC, 2 * _MC),
                 lambda s, p, _sc: (
@@ -738,12 +793,12 @@ def fused_segment_decode(
             pl.BlockSpec((64, _MC), lambda s, p, _sc: (0, 0)),  # flow params
             pl.BlockSpec((1, C), lambda s, p, _sc: (0, 0)),  # slot_pos
         ]
-        + [pl.BlockSpec(memory_space=pl.ANY)] * (2 * L),
+        + [pl.BlockSpec(memory_space=cache_space)] * (2 * L),
         out_specs=[
-            pl.BlockSpec((1, 128), lambda s, p, _sc: (s, 0)),  # latent+eos
+            pl.BlockSpec((8, 128), lambda s, p, _sc: (s // 8, 0)),  # latent+eos
             pl.BlockSpec((1, C), lambda s, p, _sc: (0, 0)),  # slot_pos'
         ]
-        + [pl.BlockSpec(memory_space=pl.ANY)] * (2 * L),
+        + [pl.BlockSpec(memory_space=cache_space)] * (2 * L),
         scratch_shapes=[
             pltpu.VMEM((8, E), jnp.float32),  # x_s
             pltpu.VMEM((8, E), jnp.float32),  # lnx_s
@@ -753,15 +808,18 @@ def fused_segment_decode(
             pltpu.VMEM((H, d), jnp.float32),  # attn16
             pltpu.VMEM((8, 4 * E), jnp.bfloat16),  # h1_s
             pltpu.VMEM((8, E), jnp.float32),  # yacc_s
-            pltpu.VMEM((H, C, d), cache_dtype),  # kv_k
-            pltpu.VMEM((H, C, d), cache_dtype),  # kv_v
+            pltpu.VMEM((C, E), cache_dtype),  # kv_k (slot-major, unpadded lanes)
+            pltpu.VMEM((C, E), cache_dtype),  # kv_v
             pltpu.VMEM((8, 128), jnp.float32),  # lat_s (latent feedback)
             pltpu.VMEM((8, E), jnp.float32),  # h_s (out-norm'd h + eos row)
             pltpu.VMEM((8, 21 * _MC), jnp.float32),  # ada_s (+ silu(y) col)
             pltpu.VMEM((8, _MC), jnp.float32),  # fx_s (flow residual)
             pltpu.VMEM((8, _MC), jnp.float32),  # fy_s (stashed x0)
-            pltpu.VMEM((H, 1, d), cache_dtype),  # stage_k
-            pltpu.VMEM((H, 1, d), cache_dtype),  # stage_v
+            pltpu.VMEM((8, E), cache_dtype),  # krow_s (flat new k row)
+            pltpu.VMEM((8, E), cache_dtype),  # vrow_s
+            pltpu.VMEM((8, E), cache_dtype),  # kblk_s (aligned append block)
+            pltpu.VMEM((8, E), cache_dtype),  # vblk_s
+            pltpu.VMEM((2, E), jnp.float32),  # cfrow_s (this frame's rope rows)
             pltpu.SemaphoreType.DMA,  # sem_k
             pltpu.SemaphoreType.DMA,  # sem_v
             pltpu.SemaphoreType.DMA,  # sem_w (append writes)
@@ -781,7 +839,7 @@ def fused_segment_decode(
             jax.ShapeDtypeStruct((S, 128), jnp.float32),
             jax.ShapeDtypeStruct((1, C), jnp.int32),
         ]
-        + [jax.ShapeDtypeStruct((H, C, d), cache_dtype)] * (2 * L),
+        + [jax.ShapeDtypeStruct((C, E), cache_dtype)] * (2 * L),
         input_output_aliases=aliases,
         interpret=interpret,
     )(
@@ -798,15 +856,15 @@ def fused_segment_decode(
         flow_packed["fchunks"],
         flow_packed["fparams"][:64],
         slot_pos,
-        # The public cache layout is slot-major (C, H, d); this kernel holds
-        # the whole KV in VMEM as (H, C, d), so convert at the boundary.
-        *[jnp.transpose(k[0], (1, 0, 2)) for k in k_caches],
-        *[jnp.transpose(v[0], (1, 0, 2)) for v in v_caches],
+        # [1, C, H, d] -> (C, E): a contiguous bitcast, so the in/out
+        # aliasing stays copy-free under donation.
+        *[k[0].reshape(C, E) for k in k_caches],
+        *[v[0].reshape(C, E) for v in v_caches],
     )
     lat = outs[0]
     latents = lat[:, :ldim]
     eos_logits = lat[:, ldim]
     spnew = outs[1]
-    new_ks = tuple(jnp.transpose(o, (1, 0, 2)) for o in outs[2 : 2 + L])
-    new_vs = tuple(jnp.transpose(o, (1, 0, 2)) for o in outs[2 + L :])
+    new_ks = tuple(o.reshape(C, H, d) for o in outs[2 : 2 + L])
+    new_vs = tuple(o.reshape(C, H, d) for o in outs[2 + L :])
     return latents, eos_logits, new_ks, new_vs, spnew

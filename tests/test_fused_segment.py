@@ -21,7 +21,7 @@ from pocket_tts_tpu.models.weights import quantize_int8
 from pocket_tts_tpu.ops.fused_backbone import pack_backbone_head, pack_backbone_int8
 from pocket_tts_tpu.ops.fused_segment import fused_segment_decode, pack_flow_bf16
 
-E, H, L, C, S = 1024, 16, 6, 256, 4
+E, H, L, C, S = 1024, 16, 6, 256, 8  # S % 8 == 0 (frame-group blocks)
 
 
 @pytest.fixture(scope="module")
