@@ -64,16 +64,17 @@ _MC = 512  # flow model_channels the packing hardcodes (b6369a24)
 
 
 def segment_block_mode(kv_bytes: int) -> str:
-    """Backbone block layout for the segment kernel, default "pair" (2 MiB
-    blocks, 52 grid steps/frame — the safest VMEM budget). "tri" (3 MiB
-    blocks, 34 steps/frame; POCKET_TTS_FUSED_SEGMENT_BLOCK=tri) trades ~2
-    MiB of headroom for fewer, larger DMAs — a measured win for the
-    per-frame kernel — but only fits next to the 4 MiB flow double-buffer
-    at the C<=512 buckets, so bigger KV demotes it back to pair."""
+    """Backbone block layout for the segment kernel: "tri" (3 MiB blocks,
+    34 grid steps/frame) wherever it fits next to the 4 MiB flow
+    double-buffer — the measured hardware winner (single-stream 154.7x vs
+    147.4x for the per-frame kernel + scan, scripts/measure_all.sh) —
+    demoted to "pair" (2 MiB blocks, 52 steps/frame, ~2 MiB more VMEM
+    headroom) for bigger KV buckets. POCKET_TTS_FUSED_SEGMENT_BLOCK=pair
+    forces the safe layout."""
     import os
 
     v = (
-        os.environ.get("POCKET_TTS_FUSED_SEGMENT_BLOCK", "pair") or "pair"
+        os.environ.get("POCKET_TTS_FUSED_SEGMENT_BLOCK", "tri") or "tri"
     ).strip().lower()
     if v == "tri" and kv_bytes <= 2 * 1024 * 1024:
         return "tri"
@@ -81,11 +82,13 @@ def segment_block_mode(kv_bytes: int) -> str:
 
 
 def fused_segment_enabled() -> bool:
-    """Whole-segment kernel opt-in. Default OFF: the kernel has full
-    interpret-mode parity coverage but has not yet been measured (or even
-    compiled) on real hardware — flip the default only after
-    scripts/measure_all.sh shows it beating the per-frame kernel + scan."""
-    return env_flag("POCKET_TTS_FUSED_SEGMENT", False)
+    """Whole-segment kernel, DEFAULT ON (POCKET_TTS_FUSED_SEGMENT=0 opts
+    out) since it passed the on-device parity gate at both serving buckets
+    and beat the per-frame kernel + scan end-to-end (single-stream 154.7x
+    vs 147.4x, TTFA p50 39 vs 57 ms — measurements/20260818T221401). The
+    load-time compile probe (models/tts_model._probe_fused_compile)
+    degrades to the per-frame kernel on any backend that rejects it."""
+    return env_flag("POCKET_TTS_FUSED_SEGMENT", True)
 
 
 # ---------------------------------------------------------------------------

@@ -221,7 +221,11 @@ def run_segment_variant(t, qparams, packed, state0, steps, atol):
     bf16 weight chunks, so the tolerance is looser than the per-frame
     variants (see tests/test_fused_segment.py)."""
     from pocket_tts_tpu.ops.fused_backbone import pack_backbone_head, pack_backbone_int8
-    from pocket_tts_tpu.ops.fused_segment import fused_segment_decode, pack_flow_bf16
+    from pocket_tts_tpu.ops.fused_segment import (
+        fused_segment_decode,
+        pack_flow_bf16,
+        segment_block_mode,
+    )
     from pocket_tts_tpu.ops.linear import linear
     from pocket_tts_tpu.ops.norms import layer_norm
     from pocket_tts_tpu.ops.rope import rope_angles
@@ -281,6 +285,10 @@ def run_segment_variant(t, qparams, packed, state0, steps, atol):
             jnp.full((1,), pos0, jnp.int32),
             jnp.full((1,), int(tstate["widx"]), jnp.int32),
             cos[0, :, 0], sin[0, :, 0], num_heads=H, seg_frames=S,
+            # Gate exactly what production dispatches at this bucket.
+            block=segment_block_mode(
+                2 * C * E * jnp.dtype(jnp.bfloat16).itemsize
+            ),
         )
     )()
     worst = 0.0
@@ -335,8 +343,9 @@ def main() -> None:
         tag = "FAIL " + fail if fail else "ok"
         print(f"C={C:5d} head:vpu {hblock:5s} worst={worst:.5f}  {tag}", flush=True)
         failures += bool(fail)
-        if C <= 512:
-            # The whole-segment kernel (opt-in; bf16 flow head -> looser tol).
+        if True:
+            # The whole-segment kernel (bf16 flow head -> looser tol); the
+            # C=1024 bucket runs it with pair blocks (segment_block_mode).
             # A compile rejection is reported as a failed variant, not a
             # crash — the per-frame variants above are the production gate.
             try:
