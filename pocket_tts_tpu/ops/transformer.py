@@ -221,15 +221,19 @@ class StreamingTransformer:
         return x, new_state
 
     @staticmethod
-    def _fused_capacity_ok(state: State) -> bool:
+    def _fused_capacity_ok(state: State, kind: str = "body") -> bool:
         """The megakernel holds one layer's K and V in VMEM scratch
         (~16 MB/core total, of which ~4.5 MB goes to weight-chunk double
         buffers + activations). Past ~8 MB of KV scratch (C=2048 bf16) the
         kernel would fail to compile — long-context sessions fall back to the
-        XLA path for those (rare) capacity buckets."""
+        XLA path for those (rare) capacity buckets. When the load-time
+        compile probe has a verdict for this capacity bucket
+        (fused_backbone.bucket_allows), it overrides the static threshold."""
+        from pocket_tts_tpu.ops.fused_backbone import bucket_allows
+
         k = state["layers"][0]["k"]  # [B, C, H, d] slot-major
         kv_bytes = 2 * k.shape[1] * k.shape[2] * k.shape[3] * k.dtype.itemsize
-        return kv_bytes <= 8 * 1024 * 1024
+        return bucket_allows(kind, k.shape[1], kv_bytes <= 8 * 1024 * 1024)
 
     def _fused_decode(
         self, params: Params, x, state: State, positions, rope_cache, widx

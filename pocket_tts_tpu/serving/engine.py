@@ -61,6 +61,13 @@ class RequestHandle:
     # populated when the engine runs with record_frame_times=True). Feed to
     # frame_lateness() to check real-time playback deadlines.
     frame_times: list = field(default_factory=list)
+    # Playback-lead bookkeeping (always tracked; drives preemption): when the
+    # first frame was delivered and how many frames have been delivered. A
+    # player that started at the first frame has consumed
+    # (now - _first_frame_time) seconds and holds
+    # _frames_delivered * frame_seconds of audio.
+    _first_frame_time: Optional[float] = None
+    _frames_delivered: int = 0
     _queue: "queue.Queue[Optional[np.ndarray]]" = field(default_factory=queue.Queue)
     _done: threading.Event = field(default_factory=threading.Event)
     # Remaining sentence chunks for long texts: each chunk restarts from the
@@ -103,6 +110,24 @@ class _Slot:
     epoch: int = -1  # admission generation; guards stale pipelined deliveries
 
 
+@dataclass
+class _Parked:
+    """A preempted stream's full decode state, lifted out of its slot.
+
+    The KV row is compacted (valid entries gathered to the row front) at park
+    time, so resuming is exactly the admission scatter with `widx >= valid`
+    — see TTSEngine._build_resume_fn. Rows live on device; parking never
+    round-trips state through the host."""
+
+    handle: RequestHandle
+    flow_row: object  # B=1 FlowLM state (row-compacted)
+    mimi_row: object  # B=1 Mimi decode state
+    carry_row: object  # B=1 decode carry (step/EOS counters mid-flight)
+    pos: int  # host mirror of the stream position
+    valid: int  # upper bound on the row's valid KV entries (8-aligned)
+    old_epoch: int  # epoch the stream held when parked (for stale-delivery cleanup)
+
+
 class TTSEngine:
     """Slot-based continuous batching over the fused generate step."""
 
@@ -119,6 +144,12 @@ class TTSEngine:
         max_capacity: Optional[int] = None,
         first_segment_frames: int = 2,
         prefill_buckets: tuple = (16, 32),
+        preempt: bool = True,
+        max_parked: Optional[int] = None,
+        preempt_min_lead_s: float = 0.35,
+        resume_urgent_lead_s: float = 0.6,
+        swap_margin_s: float = 0.5,
+        max_swaps_per_tick: int = 4,
     ):
         self.model = model
         self.num_slots = slots
@@ -147,6 +178,25 @@ class TTSEngine:
         self.warmup_frames = warmup_frames
         self.emit_pcm16 = emit_pcm16
         self.record_frame_times = record_frame_times
+        # Preemption: an arrival that finds every slot busy may PARK the
+        # running stream with the most buffered playback lead (its player has
+        # seconds of audio in hand, so pausing its decode stalls nothing) and
+        # take the slot; parked streams resume into freed slots, urgent-first.
+        # This turns mid-churn admission TTFA from "wait for a whole
+        # utterance to retire" (~seconds) into one park + admit + prefill +
+        # short segment (~100 ms).
+        self.preempt = preempt
+        self.max_parked = min(slots, 16) if max_parked is None else max_parked
+        self.preempt_min_lead_s = preempt_min_lead_s
+        self.resume_urgent_lead_s = resume_urgent_lead_s
+        # Swap-back: an URGENT parked stream (lead < resume_urgent_lead_s)
+        # may preempt a running stream whose lead exceeds its own by
+        # swap_margin_s. Rotating slots like this approximates processor
+        # sharing when logical streams exceed slots: leads equalize instead
+        # of the parked stream stalling while it waits for a retirement.
+        self.swap_margin_s = swap_margin_s
+        self.max_swaps_per_tick = max_swaps_per_tick
+        self.frame_seconds = 1.0 / float(model.config.mimi.frame_rate)
 
         flow_lm, mimi = model.flow_lm, model.mimi
         B = slots
@@ -181,6 +231,13 @@ class TTSEngine:
         self._precompile_admission()
 
         self._slots = [_Slot() for _ in range(B)]
+        self._parked: list[_Parked] = []
+        self._parked_by_epoch: dict[int, _Parked] = {}
+        self.preemptions = 0  # observability: total parks / resumes so far
+        self.resumes = 0
+        self._park_jit = self._build_park_fn()
+        self._resume_jit = self._build_resume_fn()
+        self._precompile_park_resume()
         self._pending: "queue.Queue[tuple[RequestHandle, ModelState, int, int, list[int]]]" = (
             queue.Queue()
         )
@@ -375,6 +432,191 @@ class TTSEngine:
             return flow_state, mimi_state, carry
 
         return jax.jit(admit_fn, donate_argnums=(0, 1, 2))
+
+    # ------------------------------------------------------------ preemption
+
+    def _build_park_fn(self):
+        """Jitted slot parking: lift slot b's full decode state out as B=1
+        rows. The FlowLM row is compacted (valid entries gathered to the row
+        front, widx set to `valid`) so it can later be resumed through the
+        same splice-at-front contract the voice-admission scatter uses.
+        Read-only on the batch state; everything stays on device."""
+        flow_lm = self.model.flow_lm
+
+        def park_fn(flow_state, mimi_state, carry, b, valid):
+            def take(leaf):
+                if getattr(leaf, "ndim", 0) == 0:
+                    return leaf  # batch-common scalars (widx/tick)
+                return jax.lax.dynamic_slice_in_dim(leaf, b, 1, axis=0)
+
+            flow_row = jax.tree_util.tree_map(take, flow_state)
+            flow_row = flow_lm.compact_state(flow_row, valid)
+            mimi_row = jax.tree_util.tree_map(take, mimi_state)
+            carry_row = jax.tree_util.tree_map(take, carry)
+            return flow_row, mimi_row, carry_row
+
+        return jax.jit(park_fn)
+
+    def _build_resume_fn(self):
+        """Jitted resume: scatter a parked stream's rows back into slot b.
+        The mirror of admission, except the carry resumes mid-flight values
+        (step/eos counters) instead of fresh ones and the Mimi row is the
+        stream's own streaming state rather than the shared warm row."""
+
+        def resume_fn(flow_state, mimi_state, carry, flow_row, mimi_row, carry_row, b, widx_new):
+            def put(batch_leaf, row_leaf):
+                if getattr(batch_leaf, "ndim", 0) == 0:
+                    return batch_leaf  # keep batch-common scalars (widx/tick)
+                return jax.lax.dynamic_update_slice_in_dim(
+                    batch_leaf, row_leaf.astype(batch_leaf.dtype), b, axis=0
+                )
+
+            transformer = jax.tree_util.tree_map(
+                put, flow_state["transformer"], flow_row["transformer"]
+            )
+            # The parked row's entries sit in [0, valid); the batch write
+            # index must clear them (same contract as voice admission).
+            transformer["widx"] = jnp.maximum(flow_state["transformer"]["widx"], widx_new)
+            flow_state = {
+                "transformer": transformer,
+                "pos": put(flow_state["pos"], flow_row["pos"]),
+            }
+            mimi_state = jax.tree_util.tree_map(put, mimi_state, mimi_row)
+            carry = jax.tree_util.tree_map(put, carry, carry_row)
+            return flow_state, mimi_state, carry
+
+        return jax.jit(resume_fn, donate_argnums=(0, 1, 2))
+
+    def _precompile_park_resume(self):
+        """Compile the park and resume programs at startup (a park of the
+        inactive slot 0 resumed into itself with max_gen=0 — a no-op on the
+        fresh state). Without this the first preemption compiles mid-serving
+        and stalls every live stream."""
+        if not self.preempt:
+            return
+        b = next((i for i, s in enumerate(self._slots) if not s.active), None)
+        if b is None:
+            logger.warning(
+                "engine: no inactive slot for park/resume precompile; "
+                "the first preemption will compile mid-serving"
+            )
+            return
+        flow_row, mimi_row, carry_row = self._park_jit(
+            self.flow_state, self.mimi_state, self.carry, np.int32(b), np.int32(0)
+        )
+        carry_row = {**carry_row, "max_gen": jnp.zeros_like(carry_row["max_gen"])}
+        self.flow_state, self.mimi_state, self.carry = self._resume_jit(
+            self.flow_state,
+            self.mimi_state,
+            self.carry,
+            flow_row,
+            mimi_row,
+            carry_row,
+            np.int32(b),
+            np.int32(0),
+        )
+
+    def _lead(self, handle: RequestHandle, now: float) -> Optional[float]:
+        """Seconds of audio the stream's player holds beyond its playhead.
+
+        None until the first frame is delivered (a stream with no audio out
+        yet must never be preempted — that would wreck its TTFA)."""
+        t0 = handle._first_frame_time
+        if t0 is None:
+            return None
+        return handle._frames_delivered * self.frame_seconds - (now - t0)
+
+    def _park_slot(self, b: int, lead: float) -> None:
+        """Preempt slot b: lift its stream's state out and free the slot."""
+        slot = self._slots[b]
+        valid = min(-(-(self._pos[b] + 1) // 8) * 8, self.capacity)
+        flow_row, mimi_row, carry_row = self._park_jit(
+            self.flow_state, self.mimi_state, self.carry, np.int32(b), np.int32(valid)
+        )
+        parked = _Parked(
+            handle=slot.handle,
+            flow_row=flow_row,
+            mimi_row=mimi_row,
+            carry_row=carry_row,
+            pos=self._pos[b],
+            valid=valid,
+            old_epoch=slot.epoch,
+        )
+        self._parked.append(parked)
+        self._parked_by_epoch[slot.epoch] = parked
+        self.preemptions += 1
+        logger.info(
+            "engine: parked request %d from slot %d (lead %.2f s)",
+            slot.handle.request_id,
+            b,
+            lead,
+        )
+        slot.active = False
+        slot.handle = None
+
+    def _drop_parked(self, parked: _Parked) -> None:
+        self._parked.remove(parked)
+        self._parked_by_epoch.pop(parked.old_epoch, None)
+
+    def _resume_parked(self, parked: _Parked, b: int) -> bool:
+        """Scatter a parked stream back into free slot b; returns True if the
+        slot was consumed (False when the stream was cancelled while parked)."""
+        self._drop_parked(parked)
+        handle = parked.handle
+        if handle._cancelled.is_set():
+            handle._chunks.clear()
+            if not handle.done:
+                handle._queue.put(None)
+                handle._done.set()
+            return False
+        self.flow_state, self.mimi_state, self.carry = self._resume_jit(
+            self.flow_state,
+            self.mimi_state,
+            self.carry,
+            parked.flow_row,
+            parked.mimi_row,
+            parked.carry_row,
+            np.int32(b),
+            np.int32(parked.valid),
+        )
+        self._written = max(self._written, parked.valid)
+        self._pos[b] = parked.pos
+        slot = self._slots[b]
+        slot.active = True
+        slot.handle = handle
+        self._epoch_counter += 1
+        slot.epoch = self._epoch_counter
+        self.resumes += 1
+        logger.info(
+            "engine: resumed request %d into slot %d", handle.request_id, b
+        )
+        return True
+
+    def _pick_victims(self, want: int, now: float, exclude: set) -> list[int]:
+        """Slots safe to preempt, most playback lead first. A victim must
+        have delivered its first frame and hold more than preempt_min_lead_s
+        of audio lead — pausing it then cannot stall its player before the
+        engine gets a chance to resume it."""
+        scored = []
+        for b, slot in enumerate(self._slots):
+            if not slot.active or b in exclude:
+                continue
+            lead = self._lead(slot.handle, now)
+            if lead is not None and lead > self.preempt_min_lead_s:
+                scored.append((lead, b))
+        scored.sort(reverse=True)
+        return [b for _, b in scored[:want]]
+
+    def _sweep_parked(self) -> None:
+        """Terminate parked streams whose client cancelled while they waited."""
+        for parked in list(self._parked):
+            if parked.handle._cancelled.is_set():
+                self._drop_parked(parked)
+                handle = parked.handle
+                handle._chunks.clear()
+                if not handle.done:
+                    handle._queue.put(None)
+                    handle._done.set()
 
     def _expanded_voice(self, voice_state: ModelState):
         """Voice tree padded to engine capacity (cached: expansion is ~15
@@ -582,10 +824,14 @@ class TTSEngine:
         )
         self.capacity = target
         self._voice_cache.clear()  # cached voices are padded to the old size
+        # Parked rows must match the batch cache's capacity at resume time.
+        for parked in self._parked:
+            parked.flow_row = self.model.flow_lm.expand_state(parked.flow_row, target)
         self._compact_jit = self.model._compact_jit(B, target, donate=True)
         # New capacity = new shapes for the admission and prefill programs.
         self._precompile_admission()
         self._precompile_prefill()
+        self._precompile_park_resume()
         # Compile the new compaction program now (and reclaim dead slots
         # while at it) instead of stalling live streams at first use.
         max_valid = -(-(max(self._pos) + 1) // 8) * 8
@@ -614,7 +860,17 @@ class TTSEngine:
     # ------------------------------------------------------------ main loop
 
     def _admit_pending(self, block_seconds: float = 0.0) -> bool:
-        """Move queued requests into free slots; returns True if any admitted.
+        """Admit queued requests; returns True if slot contents changed.
+
+        Slot assignment order within a tick:
+          1. URGENT parked streams (playback lead below resume_urgent_lead_s)
+             take free slots first — their lead drains in real time.
+          2. Pending new requests take the remaining free slots; if there are
+             none left, they PREEMPT the running streams with the most
+             buffered lead (see _pick_victims) — a new arrival's TTFA then
+             costs one park + admit + prefill + short segment instead of a
+             wait for a whole utterance to retire.
+          3. Remaining parked streams fill any slots still free.
 
         With block_seconds > 0 the first fetch blocks briefly — used by the
         run loop when fully idle so it doesn't busy-spin a CPU core.
@@ -622,14 +878,65 @@ class TTSEngine:
         from pocket_tts_tpu.models.tts_model import _bucket
 
         self._maybe_grow()
+        self._sweep_parked()
+        now = time.monotonic()
         free = [b for b, s in enumerate(self._slots) if not s.active]
-        if not free:
-            return False
+        touched: set = set()  # slots (re)filled this tick: not preemptable
+        resumed_any = False
+
+        if self._parked:
+            urgent = sorted(
+                (
+                    p
+                    for p in self._parked
+                    if (self._lead(p.handle, now) or 0.0) < self.resume_urgent_lead_s
+                ),
+                key=lambda p: self._lead(p.handle, now) or 0.0,
+            )
+            for parked in urgent:
+                if not free:
+                    break
+                b = free[0]
+                if self._resume_parked(parked, b):
+                    free.pop(0)
+                    touched.add(b)
+                    resumed_any = True
+            # Swap-back: urgent parked streams with no free slot trade places
+            # with running streams holding swap_margin_s more lead. Bounded
+            # per tick; each swap is one park + one resume dispatch.
+            swaps = 0
+            for parked in urgent:
+                if parked not in self._parked or swaps >= self.max_swaps_per_tick:
+                    continue
+                p_lead = self._lead(parked.handle, now) or 0.0
+                best_b, best_lead = None, p_lead + self.swap_margin_s
+                for b, slot in enumerate(self._slots):
+                    if not slot.active or b in touched:
+                        continue
+                    lead = self._lead(slot.handle, now)
+                    if lead is not None and lead > best_lead:
+                        best_b, best_lead = b, lead
+                if best_b is None:
+                    continue
+                self._park_slot(best_b, best_lead)
+                if self._resume_parked(parked, best_b):
+                    touched.add(best_b)
+                    resumed_any = True
+                    swaps += 1
+                else:
+                    free.append(best_b)  # parked was cancelled; slot stays free
+
+        preempt_budget = (
+            max(0, self.max_parked - len(self._parked)) if self.preempt else 0
+        )
+        if not free and preempt_budget == 0:
+            return resumed_any
+
         admissible, deferred = [], []
         candidates = self._deferred
         self._deferred = []
         first = True
-        while len(admissible) < len(free):
+        while len(admissible) < len(free) + preempt_budget:
             if candidates:
                 item = candidates.pop(0)
             else:
@@ -665,24 +972,50 @@ class TTSEngine:
                 deferred.append(item)
                 continue
             admissible.append(item)
-        self._deferred = deferred + candidates
-        if not admissible:
-            return False
-        to_admit = [
-            (b, handle, voice, fae, max_gen, tokens)
-            for b, (handle, voice, fae, max_gen, tokens) in zip(free, admissible)
-        ]
-        admitted = self._admit_group(to_admit)
-        self._maybe_compact()
-        self._prefill_admitted(admitted)
+
+        # Preempt for the shortfall; whatever still has no slot (no victim
+        # had enough lead) waits on the deferred list for the next tick.
+        shortfall = len(admissible) - len(free)
+        if shortfall > 0:
+            for b in self._pick_victims(shortfall, now, touched):
+                self._park_slot(b, self._lead(self._slots[b].handle, now))
+                free.append(b)
+        overflow = []
+        while len(admissible) > len(free):
+            overflow.append(admissible.pop())
+        overflow.reverse()
+        self._deferred = deferred + overflow + candidates
+
+        admitted_any = False
+        if admissible:
+            to_admit = [
+                (b, handle, voice, fae, max_gen, tokens)
+                for b, (handle, voice, fae, max_gen, tokens) in zip(free, admissible)
+            ]
+            touched.update(b for b, *_ in to_admit)
+            free = free[len(admissible) :]
+            admitted = self._admit_group(to_admit)
+            self._maybe_compact()
+            self._prefill_admitted(admitted)
+            admitted_any = True
+
+        for parked in list(self._parked):
+            if not free:
+                break
+            b = free[0]
+            if self._resume_parked(parked, b):
+                free.pop(0)
+                touched.add(b)
+                resumed_any = True
+
         # Short-tick rate limit: the 2-frame post-admission segment + its
         # blocking immediate delivery buys cold-burst TTFA but costs ~4x
         # per-frame fixed overhead and a pipelining bubble; under sustained
         # churn (an admission nearly every tick) it must not become the
         # steady state. At most one short tick per 4 ticks.
-        if self._ticks_since_short >= 4:
+        if admitted_any and self._ticks_since_short >= 4:
             self._just_admitted = True  # next tick runs the short segment
-        return True
+        return admitted_any or resumed_any
 
     def _retire_epoch(self, epoch: int) -> None:
         self._retired_epochs.add(epoch)
@@ -776,17 +1109,24 @@ class TTSEngine:
                     # silence the lane so the still-running decode emits nothing
                     self.carry = self._silence_lane(self.carry, jnp.int32(b))
                 continue
-            now = time.monotonic() if self.record_frame_times else None
+            now = time.monotonic()
             for s in range(emit_np.shape[1]):  # short or full segment
                 if emit_np[b, s]:
                     handle._queue.put(audio_np[b, s])
-                    if now is not None:
+                    handle._frames_delivered += 1
+                    if handle._first_frame_time is None:
+                        handle._first_frame_time = now
+                    if self.record_frame_times:
                         handle.frame_times.append(now)
             # Done when the reference loop would have exited
             # (step >= eos_step + frames_after_eos, capped by max_gen).
             steps_target = min(int(eos_step[b]) + int(fae_np[b]), int(max_gen_np[b]))
             if int(step[b]) >= steps_target:
                 self._retire_epoch(epoch)
+                if epoch in self._parked_by_epoch:
+                    # The stream completed in the in-flight segment dispatched
+                    # just before it was parked: its parked row is dead.
+                    self._drop_parked(self._parked_by_epoch[epoch])
                 if handle._chunks:
                     # More sentence chunks: requeue the next one (it restarts
                     # from the voice state, like the direct API's per-chunk
@@ -841,6 +1181,7 @@ class TTSEngine:
                 and in_flight is None
                 and self._pending.empty()
                 and not self._deferred
+                and not self._parked
             ):
                 idle_ticks += 1
                 if stop_when_idle and idle_ticks > 1:

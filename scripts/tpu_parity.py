@@ -215,6 +215,22 @@ def run_head_variant(t, qparams, packed, state0, steps, attn_mode, block, atol):
     return worst, None
 
 
+def _is_compile_error(e: Exception) -> bool:
+    """True for backend lowering/compile rejections (Mosaic, XLA resource
+    limits, unimplemented lowerings) — the classes a bucket probe is allowed
+    to report as a degraded variant rather than a harness failure."""
+    if isinstance(e, NotImplementedError):
+        return True
+    name = type(e).__name__
+    if name in ("XlaRuntimeError", "JaxRuntimeError", "MosaicError"):
+        return True
+    msg = str(e)
+    return any(
+        tag in msg
+        for tag in ("Mosaic", "mosaic", "RESOURCE_EXHAUSTED", "Unsupported", "vmem")
+    )
+
+
 def run_segment_variant(t, qparams, packed, state0, steps, atol):
     """Compiled whole-segment kernel (ops/fused_segment.py) vs the chained
     oracle — S frames in one call, flow head included. The flow head runs
@@ -248,7 +264,9 @@ def run_segment_variant(t, qparams, packed, state0, steps, atol):
     )
     flow_lm = FlowLMModel(config=cfg, latent_dim=32)
     params = flow_lm.init_params(jax.random.PRNGKey(3))
-    q = quantize_int8({"flow_lm": params}, subtrees=("transformer",))["flow_lm"]
+    # PRODUCTION default subtrees (input_linear included): gates the int8
+    # head packing + in-kernel scale multiply on real hardware (ADVICE r3).
+    q = quantize_int8({"flow_lm": params})["flow_lm"]
     packed2 = pack_backbone_int8(q["transformer"]["layers"])
     head_packed = pack_backbone_head(q)
     flow_packed = pack_flow_bf16(q["flow_net"])
@@ -285,9 +303,10 @@ def run_segment_variant(t, qparams, packed, state0, steps, atol):
             jnp.full((1,), pos0, jnp.int32),
             jnp.full((1,), int(tstate["widx"]), jnp.int32),
             cos[0, :, 0], sin[0, :, 0], num_heads=H, seg_frames=S,
-            # Gate exactly what production dispatches at this bucket.
+            # Gate exactly what production dispatches at this bucket
+            # (incl. any probed per-bucket demotion).
             block=segment_block_mode(
-                2 * C * E * jnp.dtype(jnp.bfloat16).itemsize
+                2 * C * E * jnp.dtype(jnp.bfloat16).itemsize, capacity=C
             ),
         )
     )()
@@ -353,6 +372,12 @@ def main() -> None:
                     t, qparams, packed, state, args.steps, max(args.atol, 0.15)
                 )
             except Exception as e:  # noqa: BLE001
+                # Only lowering/compile rejections are reported as a failed
+                # "compile" variant; anything else (an assertion, a harness
+                # bug) must surface as itself, not hide behind a plausible
+                # compile message (ADVICE r3).
+                if not _is_compile_error(e):
+                    raise
                 worst, fail = float("nan"), f"compile: {str(e).splitlines()[0][:120]}"
             tag = "FAIL " + fail if fail else "ok"
             print(

@@ -257,3 +257,117 @@ def test_engine_rejects_beyond_max_capacity(model, voice):
             "one two three four five six seven eight nine ten eleven twelve.",
             voice,
         )
+
+
+# --------------------------------------------------------------- preemption
+
+
+def test_engine_preemption_exact_audio_at_temp_zero(model, voice):
+    """A stream parked mid-decode and resumed later must produce EXACTLY the
+    audio of an unpreempted run (temp=0: the decode is noise-free, so
+    park/resume must be state-lossless for the KV cache, Mimi streaming
+    state, and carry counters alike)."""
+    old_temp = model.temp
+    model.temp = 0.0
+    try:
+        long_text = "A very long sentence with many many words to speak aloud."
+        short_text = "Quick interjection."
+        direct = model.generate_audio(voice, long_text, frames_after_eos=2, warmup_frames=1)
+
+        engine = TTSEngine(
+            model, slots=1, segment_frames=2, capacity=512, text_pad=32,
+            preempt_min_lead_s=-1e9, resume_urgent_lead_s=-1e9,
+        )
+        h1 = engine.submit(long_text, voice, frames_after_eos=2)
+        for _ in range(3):
+            engine.step()  # h1 delivers first frames -> becomes preemptable
+        h2 = engine.submit(short_text, voice, frames_after_eos=2)
+        engine.run(stop_when_idle=True)
+        assert engine.preemptions >= 1 and engine.resumes >= 1
+        np.testing.assert_allclose(h1.audio(), direct, rtol=1e-4, atol=1e-6)
+        assert h2.audio().shape[0] == _expected_frames(model, short_text) * 1920
+    finally:
+        model.temp = old_temp
+
+
+def test_engine_preemption_randomized(model, voice):
+    """Aggressive preemption (every arrival parks a victim) across staggered
+    submissions: every stream still completes with exactly its expected
+    frames — no lost, duplicated, or misrouted segments."""
+    engine = TTSEngine(
+        model, slots=2, segment_frames=2, capacity=512, text_pad=32,
+        preempt_min_lead_s=-1e9,
+    )
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot"]
+    rng = np.random.default_rng(5)
+    requests = [
+        " ".join(rng.choice(words, int(rng.integers(3, 7)))) + "." for _ in range(8)
+    ]
+    handles = []
+    for i, text in enumerate(requests):
+        handles.append(engine.submit(text, voice, frames_after_eos=2))
+        if i % 2 == 1:
+            for _ in range(2):
+                engine.step()
+    engine.run(stop_when_idle=True)
+    assert engine.preemptions >= 1
+    for text, handle in zip(requests, handles):
+        audio = handle.audio()
+        assert handle.done
+        assert audio.shape[0] == _expected_frames(model, text) * 1920, text
+        assert np.isfinite(audio).all()
+
+
+def test_engine_cancel_while_parked(model, voice):
+    """Cancelling a parked stream terminates it without consuming a slot;
+    the preempting stream is unaffected."""
+    engine = TTSEngine(
+        model, slots=1, segment_frames=2, capacity=512, text_pad=32,
+        preempt_min_lead_s=-1e9, resume_urgent_lead_s=-1e9,
+    )
+    long_text = "A very long sentence with many many words to speak aloud."
+    h1 = engine.submit(long_text, voice, frames_after_eos=2)
+    for _ in range(3):
+        engine.step()
+    h2 = engine.submit("Quick interjection.", voice, frames_after_eos=2)
+    engine.step()  # parks h1, admits h2
+    assert len(engine._parked) == 1
+    h1.cancel()
+    engine.run(stop_when_idle=True)
+    assert h1.done
+    assert h1.audio().shape[0] < _expected_frames(model, long_text) * 1920
+    assert h2.audio().shape[0] == _expected_frames(model, "Quick interjection.") * 1920
+
+
+def test_engine_never_preempts_before_first_frame(model, voice):
+    """A stream that has not yet delivered its first frame is never chosen
+    as a preemption victim (parking it would wreck its TTFA)."""
+    engine = TTSEngine(
+        model, slots=1, segment_frames=2, capacity=512, text_pad=32,
+        preempt_min_lead_s=-1e9, resume_urgent_lead_s=-1e9,
+    )
+    h1 = engine.submit("First stream words here.", voice, frames_after_eos=2)
+    # No ticks yet: h1 admitted (at the first tick) but check victim logic
+    # directly before any frame is delivered.
+    engine._admit_pending()
+    assert engine._pick_victims(1, __import__("time").monotonic(), set()) == []
+    h2 = engine.submit("Second stream words.", voice, frames_after_eos=2)
+    engine.run(stop_when_idle=True)
+    assert h1.audio().shape[0] == _expected_frames(model, "First stream words here.") * 1920
+    assert h2.audio().shape[0] == _expected_frames(model, "Second stream words.") * 1920
+
+
+def test_engine_preemption_disabled(model, voice):
+    """preempt=False restores strict run-to-completion slot behavior."""
+    engine = TTSEngine(
+        model, slots=1, segment_frames=2, capacity=512, text_pad=32,
+        preempt=False, preempt_min_lead_s=-1e9,
+    )
+    h1 = engine.submit("First stream words here.", voice, frames_after_eos=2)
+    for _ in range(3):
+        engine.step()
+    h2 = engine.submit("Second stream words.", voice, frames_after_eos=2)
+    engine.run(stop_when_idle=True)
+    assert engine.preemptions == 0
+    assert h1.audio().shape[0] == _expected_frames(model, "First stream words here.") * 1920
+    assert h2.audio().shape[0] == _expected_frames(model, "Second stream words.") * 1920

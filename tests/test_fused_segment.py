@@ -142,6 +142,36 @@ def test_segment_dispatch_matches_scan_path(setup, monkeypatch):
     selected by POCKET_TTS_FUSED_SEGMENT and driven in interpret mode by
     POCKET_TTS_FUSED_INTERPRET) produces the same segment outputs — audio,
     emit, carry, state advance — as the lax.scan path."""
+    flow_lm, q, packed, head_packed, flow_packed, state0 = setup
+    _compare_dispatch_paths(
+        flow_lm, q, packed, head_packed, flow_packed, state0, monkeypatch
+    )
+
+
+def test_segment_dispatch_default_int8_subtrees(setup, monkeypatch):
+    """Same dispatch comparison but quantized with the PRODUCTION default
+    subtrees — input_linear included — so the int8 head packing (raw int8
+    codes in `win` + the in-kernel hw[4] scale multiply,
+    ops/fused_backbone.pack_backbone_head) is parity-gated. Every other
+    test quantizes the transformer only (ADVICE r3)."""
+    flow_lm, *_ = setup
+    params = flow_lm.init_params(jax.random.PRNGKey(0))
+    q = quantize_int8({"flow_lm": params})["flow_lm"]  # default subtrees
+    assert "q" in q["input_linear"]["weight"], "default subtrees must cover input_linear"
+    packed = pack_backbone_int8(q["transformer"]["layers"])
+    head_packed = pack_backbone_head(q)
+    flow_packed = pack_flow_bf16(q["flow_net"])
+    state0 = flow_lm.init_state(1, C, dtype=jnp.bfloat16)
+    emb = jax.random.normal(jax.random.PRNGKey(1), (1, 9, E), jnp.float32) * 0.3
+    state0 = flow_lm.prefill(q, state0, emb, jnp.full((1,), 9, jnp.int32))
+    _compare_dispatch_paths(
+        flow_lm, q, packed, head_packed, flow_packed, state0, monkeypatch
+    )
+
+
+def _compare_dispatch_paths(
+    flow_lm, q, packed, head_packed, flow_packed, state0, monkeypatch
+):
     import copy
 
     from pocket_tts_tpu.config.schema import MimiConfig
@@ -149,7 +179,6 @@ def test_segment_dispatch_matches_scan_path(setup, monkeypatch):
     from pocket_tts_tpu.models.mimi import MimiModel
     from tests.tiny_config import TINY
 
-    flow_lm, q, packed, head_packed, flow_packed, state0 = setup
     mimi_cfg = copy.deepcopy(TINY["mimi"])
     mimi_cfg["quantizer"]["dimension"] = 32  # match the flow latent dim
     mimi = MimiModel(config=MimiConfig(**mimi_cfg))
