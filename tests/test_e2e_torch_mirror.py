@@ -147,7 +147,21 @@ def mimi_frame_mirror(mp, fp, latent, cfg):
 
 
 def test_full_decode_step_matches_numpy_mirror():
-    cfg = tiny_config()
+    _run_mirror_check(tiny_config())
+
+
+def test_full_decode_step_matches_numpy_mirror_real_geometry():
+    """Same first-frame check at the SHIPPED b6369a24 geometry (d1024 x 6
+    backbone, flow depth 6 dim 512, full Mimi) — the tiny-geometry test
+    cannot catch real-shape-only divergence (dtype islands, padding paths).
+    This is the offline stand-in for the env-gated real-checkpoint parity
+    (tests/test_checkpoint_parity.py); VERDICT r3 item 8. ~1-2 min on CPU."""
+    from pocket_tts_tpu.config.schema import builtin_config_path, load_config
+
+    _run_mirror_check(load_config(builtin_config_path("b6369a24")))
+
+
+def _run_mirror_check(cfg):
     flow_lm = FlowLMModel(config=cfg.flow_lm, latent_dim=cfg.mimi.quantizer.dimension)
     mimi = MimiModel(config=cfg.mimi)
     k1, k2 = jax.random.split(jax.random.PRNGKey(3))
