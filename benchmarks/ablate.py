@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 
-def build_segment(flow_lm, mimi, lsd_steps, noise_clamp, S, unroll, ablate):
+def build_segment(flow_lm, mimi, lsd_steps, noise_clamp, S, unroll, ablate, read_limit=None):
     from pocket_tts_tpu.models.generate import decode_mimi_chunk
     from pocket_tts_tpu.ops.linear import linear
     from pocket_tts_tpu.ops.norms import layer_norm
@@ -66,7 +66,8 @@ def build_segment(flow_lm, mimi, lsd_steps, noise_clamp, S, unroll, ablate):
             else:
                 x = linear(seq[:, None, :], fp["input_linear"]["weight"])
                 h, tstate = transformer(
-                    fp["transformer"], x, st["transformer"], st["pos"][:, None]
+                    fp["transformer"], x, st["transformer"], st["pos"][:, None],
+                    read_limit=read_limit,
                 )
                 h = layer_norm(
                     h, fp["out_norm"]["weight"], fp["out_norm"]["bias"], eps=1e-5
@@ -115,6 +116,11 @@ def main() -> None:
     ap.add_argument("--capacity", type=int, default=1024)
     ap.add_argument("--unroll", type=int, default=4)
     ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument(
+        "--read-limit", type=int, default=0,
+        help="KV rows the attention READS (0 = full capacity); the chain "
+        "keeps total frames under it so outputs stay valid",
+    )
     args = ap.parse_args()
 
     from pocket_tts_tpu.models.generate import initial_carry
@@ -136,7 +142,7 @@ def main() -> None:
     for ablate in (None, "noflow", "nomimi", "nobackbone", "skeleton"):
         fn = jax.jit(
             build_segment(flow_lm, mimi, model.lsd_decode_steps, model.noise_clamp,
-                          S, args.unroll, ablate),
+                          S, args.unroll, ablate, read_limit=args.read_limit or None),
             donate_argnums=(1, 2, 3),
         )
         state0 = flow_lm.init_state(B, args.capacity, dtype=model.state_dtype)

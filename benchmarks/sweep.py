@@ -44,15 +44,22 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    probe = jax.device_put(jnp.zeros((16 * 1024 * 1024 // 2,), jnp.int16))
-    jax.block_until_ready(probe)
+    # Random payloads, one fetch each: constant buffers and repeated fetches
+    # of the same buffer can both be shortcut by the transport.
+    probes = [
+        jax.random.randint(
+            jax.random.PRNGKey(i), (16 * 1024 * 1024 // 2,), -1000, 1000, jnp.int16
+        )
+        for i in range(3)
+    ]
+    jax.device_get(jnp.sum(probes[-1]))  # materialize all before timing
     bws = []
-    for _ in range(3):
+    for probe in probes:
         t0 = time.monotonic()
         np.asarray(probe)
         bws.append(probe.nbytes / (time.monotonic() - t0))
     d2h = max(bws)
-    print(f"d2h_bandwidth={d2h / 1e6:.1f} MB/s (16 MiB probe, best of 3)")
+    print(f"d2h_bandwidth={d2h / 1e6:.1f} MB/s (16 MiB probes)")
 
     for batch in batches:
         stacked = stack_states(model.flow_lm, [voice] * batch) if batch > 1 else voice

@@ -175,13 +175,18 @@ class FlowLMModel:
         noise_clamp: Optional[float],
         eos_threshold: jnp.ndarray | float,
         noise: Optional[jnp.ndarray] = None,
+        read_limit: Optional[int] = None,
     ) -> tuple[State, jnp.ndarray, jnp.ndarray]:
         """One autoregressive step -> (state, next_latent [B, ldim], is_eos [B]).
 
         `noise` optionally supplies the pre-drawn flow-ODE starting noise
         [B, ldim] (the fused segment vectorizes the threefry draws for all S
         frames of a segment in ONE op before its scan — bitwise identical to
-        drawing from `rng` here, but off the serial per-frame path)."""
+        drawing from `rng` here, but off the serial per-frame path).
+
+        `read_limit` (static) bounds the KV rows attention reads — the
+        batch decode is cache-read bound, and the host knows how many front
+        rows are live at dispatch time (ops/attention.CausalKVAttention)."""
         B = latent.shape[0]
         if self._fused_step_ok(params, state, B):
             state, h, eos_logits = self._fused_step(params, state, latent, is_bos)
@@ -194,7 +199,8 @@ class FlowLMModel:
         x = linear(seq[:, None, :], params["input_linear"]["weight"])  # [B, 1, dim]
 
         h, transformer_state = self.transformer(
-            params["transformer"], x, state["transformer"], state["pos"][:, None]
+            params["transformer"], x, state["transformer"], state["pos"][:, None],
+            read_limit=read_limit,
         )
         h = layer_norm(
             h, params["out_norm"]["weight"], params["out_norm"]["bias"], eps=1e-5

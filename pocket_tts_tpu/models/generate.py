@@ -184,6 +184,7 @@ def make_segment_fn(
     segment_frames: int,
     unroll: int = 1,
     emit_pcm16: bool = False,
+    read_limit: Optional[int] = None,
 ):
     """Build the pure segment function.
 
@@ -196,6 +197,12 @@ def make_segment_fn(
     emit_pcm16 converts the audio to int16 PCM on device (inside the same
     program — no extra dispatch), halving device->host bytes per segment;
     that conversion is what a 16-bit WAV writer would apply anyway.
+
+    read_limit (static) bounds the KV rows the XLA attention path READS per
+    step — the batch decode is cache-read bound and valid rows occupy only
+    the front of the capacity bucket. Caller's contract: every valid slot
+    incl. this segment's appends lies below it (widx0 + S <= read_limit).
+    The B=1 megakernel/segment-kernel paths ignore it.
     """
 
     def fn(params, flow_state, mimi_state, carry, rng, temp, eos_threshold):
@@ -236,6 +243,7 @@ def make_segment_fn(
                 noise_clamp,
                 eos_threshold,
                 noise=noise_i,
+                read_limit=read_limit,
             )
             return (flow_state, next_latent, jnp.zeros_like(bos)), (
                 next_latent,

@@ -722,7 +722,7 @@ class TTSModel:
 
         return self._jit(("mimi_frame", B), build)
 
-    def _segment_jit(self, B: int, S: int, capacity: int):
+    def _segment_jit(self, B: int, S: int, capacity: int, read_limit: int | None = None):
         lsd_steps = self.lsd_decode_steps
         noise_clamp = self.noise_clamp
 
@@ -733,7 +733,7 @@ class TTSModel:
             unroll = 4 if S >= 16 else (2 if S >= 8 else 1)
             inner = make_segment_fn(
                 self.flow_lm, self.mimi, lsd_steps, noise_clamp, S, unroll=unroll,
-                emit_pcm16=self.transfer_pcm16,
+                emit_pcm16=self.transfer_pcm16, read_limit=read_limit,
             )
 
             def fn(params, flow_state, mimi_state, carry, rng, temp, eos_threshold):
@@ -743,7 +743,9 @@ class TTSModel:
             return jax.jit(fn, donate_argnums=(1, 2, 3))
 
         return self._jit(
-            ("segment", B, S, capacity, lsd_steps, noise_clamp, self.transfer_pcm16), build
+            ("segment", B, S, capacity, read_limit, lsd_steps, noise_clamp,
+             self.transfer_pcm16),
+            build,
         )
 
     def _compact_jit(self, B: int, capacity: int, donate: bool = False):
@@ -1152,13 +1154,28 @@ class TTSModel:
         total_emitted_samples = 0
         eos_step_fetched = None
 
+        # KV read-limit bucketing: the batch decode is cache-READ bound, and
+        # at dispatch time the host knows exactly how many front rows are
+        # live (written + this segment's appends). Each segment program
+        # reads only that 128-bucketed prefix instead of the whole capacity
+        # — ~C/valid x fewer attention bytes early in the utterance. B=1
+        # dispatches skip it (the megakernel path ignores it, and the XLA
+        # fallback there is host-latency bound, not read bound).
+        written_host = model_state.written + t_pad
+        use_read_limit = B > 1 and env_flag("POCKET_TTS_READ_LIMIT", True)
+
         while True:
             while not exhausted and len(in_flight) <= lookahead:
                 seg = next(sched, None)
                 if seg is None:
                     exhausted = True
                     break
-                seg_fn = self._segment_jit(B, seg, capacity)
+                read_limit = None
+                if use_read_limit:
+                    r = _bucket(written_host + seg)
+                    read_limit = r if r < capacity else None
+                written_host += seg
+                seg_fn = self._segment_jit(B, seg, capacity, read_limit)
                 flow_state, mimi_state, carry, audio, emit, all_done = seg_fn(
                     self.params, flow_state, mimi_state, carry, rng, temp, eos_threshold
                 )

@@ -195,7 +195,15 @@ class CausalKVAttention:
         positions: jnp.ndarray,  # int32 [B, T]: absolute positions, -1 = padding
         widx: jnp.ndarray = None,  # scalar int32 write index (stack-level state)
         rope_cache: tuple | None = None,
+        read_limit: int | None = None,
     ) -> tuple[jnp.ndarray, State]:
+        """read_limit (static) bounds the cache rows attention READS to
+        [:, :read_limit]: the decode step is KV-read bandwidth bound at
+        batch (BENCHMARKS.md batch roofline), and a utterance's valid rows
+        occupy only the front of the capacity bucket — the host knows how
+        many at dispatch time. CALLER's contract: every valid slot,
+        including the T rows this call appends at widx, lies below
+        read_limit (R >= widx + T); appends still write the full cache."""
         B, T, _ = x.shape
 
         projected = qkv_proj(x, params["in_proj"]["weight"])
@@ -211,6 +219,11 @@ class CausalKVAttention:
         v_cache = lax.dynamic_update_slice(state["v"], v.astype(state["v"].dtype), (0, widx, 0, 0))
         slot_pos = lax.dynamic_update_slice(state["slot_pos"], positions, (0, widx))
 
+        R = k_cache.shape[1]
+        if read_limit is not None:
+            R = max(8, min(int(read_limit), R))
+        k_read, v_read, sp_read = k_cache[:, :R], v_cache[:, :R], slot_pos[:, :R]
+
         q = q.transpose(0, 2, 1, 3)  # [B, H, T, d]
         if T == 1 and flash_decode_enabled():
             from pocket_tts_tpu.ops.flash_decode import flash_decode_attention
@@ -219,19 +232,19 @@ class CausalKVAttention:
             # transpose is a real copy, acceptable on this non-default path.
             out = flash_decode_attention(
                 q[:, :, 0, :],
-                k_cache.transpose(0, 2, 1, 3),
-                v_cache.transpose(0, 2, 1, 3),
-                slot_pos,
+                k_read.transpose(0, 2, 1, 3),
+                v_read.transpose(0, 2, 1, 3),
+                sp_read,
                 positions[:, 0],
             )[:, :, None, :]
         else:
             # Query at absolute position p attends to slots holding positions
             # [0, p]; invalid slots (-1) and padded queries are masked out.
             valid = (
-                (slot_pos[:, None, :] >= 0)
-                & (slot_pos[:, None, :] <= positions[:, :, None])
-            )  # [B, T, cap]
-            out = _sdpa_slots(q, k_cache, v_cache, valid[:, None])
+                (sp_read[:, None, :] >= 0)
+                & (sp_read[:, None, :] <= positions[:, :, None])
+            )  # [B, T, R]
+            out = _sdpa_slots(q, k_read, v_read, valid[:, None])
 
         out = out.transpose(0, 2, 1, 3).reshape(B, T, self.embed_dim)
         new_state = {"k": k_cache, "v": v_cache, "slot_pos": slot_pos}

@@ -452,6 +452,18 @@ def _kernel(
         # (16, 128) tiling), substitute the new row at widx % 8, write the
         # block back. body_tail waits the writes; the block scratch is only
         # rewritten at the NEXT layer's append.
+        #
+        # Ordering note (ADVICE r3): this wait drains the full-cache read
+        # one phase earlier than the attention phase strictly needs. It is
+        # KEPT deliberately: the append below WRITES an 8-row block into the
+        # same HBM buffer the read streams from (k_hbm aliases knew_refs on
+        # hardware), and Mosaic does not order DMAs on aliased buffers. The
+        # segment kernel omits the equivalent wait on the argument that a
+        # torn widx-row is masked and neighbor rows are byte-identical;
+        # that argument also holds here, but the per-frame kernel keeps the
+        # conservative order because the cost (the read has had a full
+        # proj+attention phase of lead) is below measurement noise while an
+        # aliased-DMA race would be silent wrong-output.
         pltpu.make_async_copy(k_hbm[0], kv_k, sem_k).wait()
         pltpu.make_async_copy(v_hbm[0], kv_v, sem_v).wait()
         widx = qpos_ref[1]

@@ -131,11 +131,13 @@ class StreamingTransformerLayer:
         positions: jnp.ndarray,
         rope_cache: tuple | None = None,
         widx: jnp.ndarray | None = None,
+        read_limit: int | None = None,
     ) -> tuple[jnp.ndarray, State]:
         h = layer_norm(x, params["norm1"]["weight"], params["norm1"]["bias"], eps=1e-5)
         if self.attention_kind == "flow_lm":
             update, new_state = self.self_attn(
-                params["self_attn"], h, state, positions, widx, rope_cache=rope_cache
+                params["self_attn"], h, state, positions, widx, rope_cache=rope_cache,
+                read_limit=read_limit,
             )
         else:
             update, new_state = self.self_attn(
@@ -194,7 +196,8 @@ class StreamingTransformer:
         return state
 
     def __call__(
-        self, params: Params, x: jnp.ndarray, state: State, positions: jnp.ndarray
+        self, params: Params, x: jnp.ndarray, state: State, positions: jnp.ndarray,
+        read_limit: int | None = None,
     ) -> tuple[jnp.ndarray, State]:
         from pocket_tts_tpu.ops.rope import rope_angles
 
@@ -210,10 +213,13 @@ class StreamingTransformer:
             and x.shape[1] == 1
             and self._fused_capacity_ok(state)
         ):
+            # The B=1 megakernel DMAs whole cache rows; read_limit is a
+            # batch-path (XLA) optimization and is ignored here.
             return self._fused_decode(params, x, state, positions, rope_cache, widx)
         new_layer_states = []
         for layer, l_params, l_state in zip(self.layers, params["layers"], state["layers"]):
-            x, l_state = layer(l_params, x, l_state, positions, rope_cache=rope_cache, widx=widx)
+            x, l_state = layer(l_params, x, l_state, positions, rope_cache=rope_cache,
+                               widx=widx, read_limit=read_limit)
             new_layer_states.append(l_state)
         new_state: State = {"layers": new_layer_states}
         if widx is not None:

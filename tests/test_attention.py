@@ -149,3 +149,28 @@ def test_causal_forward_matches_streaming_call():
     positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :], (B, T))
     streamed, _ = attn(params, jnp.array(x), state, positions, jnp.int32(0))
     np.testing.assert_allclose(_np(full), _np(streamed), rtol=1e-5, atol=1e-6)
+
+
+def test_causal_read_limit_matches_full_read():
+    """A read_limit covering every valid row (R >= widx + T) must be exactly
+    the full-capacity read: rows past the limit hold no valid slots, so
+    masking them (full read) and not reading them (limited) are the same
+    attention. The batch decode path dispatches with host-bucketed limits
+    (models/tts_model._generate_batch_frames)."""
+    attn = CausalKVAttention(embed_dim=32, num_heads=2)
+    params = attn.init_params(jax.random.PRNGKey(2))
+    B, T, CAP = 3, 6, 64
+    x = RNG.standard_normal((B, T, 32)).astype(np.float32)
+    positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :], (B, T))
+
+    state = attn.init_state(B, capacity=CAP)
+    full, full_state = attn(params, jnp.array(x), state, positions, jnp.int32(0))
+
+    state = attn.init_state(B, capacity=CAP)
+    limited, lim_state = attn(
+        params, jnp.array(x), state, positions, jnp.int32(0), read_limit=8
+    )
+    np.testing.assert_allclose(_np(limited), _np(full), rtol=1e-5, atol=1e-6)
+    # The append side is untouched: states identical at full capacity.
+    for key in ("k", "v", "slot_pos"):
+        np.testing.assert_array_equal(_np(lim_state[key]), _np(full_state[key]))

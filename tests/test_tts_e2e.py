@@ -315,3 +315,25 @@ def test_stream_schedule_shapes():
         assert sum(sched) - n < 32  # overshoot bounded by the tail bucket
         assert set(sched) <= {1, 2, 4, 8, 16, 32}
         assert sched[0] == 1  # TTFA: first dispatch is a single frame
+
+
+def test_batch_read_limit_invariance(model, voice, monkeypatch):
+    """The KV read-limit bucketing (on by default for B>1) must not change
+    outputs: limited reads only skip rows that hold no valid slots."""
+    import jax
+
+    from pocket_tts_tpu.models.tts_model import stack_states
+
+    texts = ["Read limit check one.", "And a second stream here."]
+    stacked = stack_states(model.flow_lm, [voice, voice])
+
+    model._rng = jax.random.PRNGKey(23)
+    on = model.generate_audio_batch(stacked, texts, frames_after_eos=2)
+
+    monkeypatch.setenv("POCKET_TTS_READ_LIMIT", "0")
+    model._rng = jax.random.PRNGKey(23)
+    off = model.generate_audio_batch(stacked, texts, frames_after_eos=2)
+
+    for a, b in zip(on, off):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
