@@ -112,17 +112,19 @@ class _Slot:
 
 @dataclass
 class _Parked:
-    """A preempted stream's full decode state, lifted out of its slot.
+    """A preempted stream parked in one lane of the device-resident store.
 
-    The KV row is compacted (valid entries gathered to the row front) at park
-    time, so resuming is exactly the admission scatter with `widx >= valid`
-    — see TTSEngine._build_resume_fn. Rows live on device; parking never
-    round-trips state through the host."""
+    The stream's full decode state (compacted FlowLM KV row, Mimi streaming
+    state, mid-flight carry) lives in lane `lane` of the engine's parking
+    store — pre-allocated batch-P device trees written by ONE group-park
+    dispatch and read back by ONE group-resume dispatch. The host keeps only
+    these scalars. (The first preemption design lifted each stream out as
+    its own B=1 tree: every park/resume was then a separate jit dispatch
+    whose per-call arg marshaling — ~45 leaves each — measured ~2 s of host
+    time for a 16-arrival churn burst through the remote-dispatch relay.)"""
 
     handle: RequestHandle
-    flow_row: object  # B=1 FlowLM state (row-compacted)
-    mimi_row: object  # B=1 Mimi decode state
-    carry_row: object  # B=1 decode carry (step/EOS counters mid-flight)
+    lane: int  # parking-store lane holding this stream's state
     pos: int  # host mirror of the stream position
     valid: int  # upper bound on the row's valid KV entries (8-aligned)
     old_epoch: int  # epoch the stream held when parked (for stale-delivery cleanup)
@@ -235,9 +237,25 @@ class TTSEngine:
         self._parked_by_epoch: dict[int, _Parked] = {}
         self.preemptions = 0  # observability: total parks / resumes so far
         self.resumes = 0
-        self._park_jit = self._build_park_fn()
-        self._resume_jit = self._build_resume_fn()
-        self._precompile_park_resume()
+        if self.preempt:
+            # Device-resident parking store: max_parked lanes of slot-shaped
+            # state, PLUS one scratch lane (index max_parked) that is never
+            # allocated — precompiles park/resume round-trips through it, so
+            # recompiling after capacity growth needs no free lane. All parks
+            # of a tick write the store in ONE group dispatch; all resumes
+            # read it in one (see _build_park_group_fn).
+            P = self.max_parked + 1
+            self._store_flow = flow_lm.init_state(P, capacity, dtype=model.state_dtype)
+            self._store_mimi = mimi.init_decode_state(
+                P, kv_dtype=model.state_dtype, max_chunk_frames=segment_frames
+            )
+            self._store_carry = jax.tree_util.tree_map(
+                jnp.asarray, initial_carry(flow_lm, P, [0] * P, [0] * P)
+            )
+            self._free_lanes = list(range(self.max_parked))
+            self._park_group_jit = self._build_park_group_fn()
+            self._resume_group_jit = self._build_resume_group_fn()
+            self._precompile_groups()
         self._pending: "queue.Queue[tuple[RequestHandle, ModelState, int, int, list[int]]]" = (
             queue.Queue()
         )
@@ -435,86 +453,119 @@ class TTSEngine:
 
     # ------------------------------------------------------------ preemption
 
-    def _build_park_fn(self):
-        """Jitted slot parking: lift slot b's full decode state out as B=1
-        rows. The FlowLM row is compacted (valid entries gathered to the row
-        front, widx set to `valid`) so it can later be resumed through the
-        same splice-at-front contract the voice-admission scatter uses.
-        Read-only on the batch state; everything stays on device."""
+    def _group_sizes(self) -> list[int]:
+        """Compiled park/resume group sizes {1, 4, 16, ...} capped at the
+        lane count; groups pad up by repeating their last (slot, lane) pair
+        (idempotent gather/scatter). Same rationale as _admit_sizes."""
+        sizes, k = [], 1
+        while k < self.max_parked:
+            sizes.append(k)
+            k *= 4
+        sizes.append(self.max_parked)
+        return sizes
+
+    def _build_park_group_fn(self):
+        """Jitted group park: lift K slots' decode state into K lanes of the
+        device-resident store in ONE dispatch.
+
+        Each state leaf is read by a single gather `leaf[slots]` and written
+        by a single scatter `store.at[lanes].set(rows)`; the gathered FlowLM
+        rows are compacted (valid entries to the row front, per row) so
+        resuming is exactly the admission splice-at-front contract with
+        `widx >= valid`. Duplicate (slot, lane) pairs — group padding repeats
+        the last pair — write identical rows, so the scatter stays
+        deterministic. The batch state is read-only; the store is donated."""
         flow_lm = self.model.flow_lm
 
-        def park_fn(flow_state, mimi_state, carry, b, valid):
+        def park_fn(flow_state, mimi_state, carry,
+                    store_flow, store_mimi, store_carry, slots, lanes):
             def take(leaf):
                 if getattr(leaf, "ndim", 0) == 0:
                     return leaf  # batch-common scalars (widx/tick)
-                return jax.lax.dynamic_slice_in_dim(leaf, b, 1, axis=0)
+                return leaf[slots]
 
-            flow_row = jax.tree_util.tree_map(take, flow_state)
-            flow_row = flow_lm.compact_state(flow_row, valid)
-            mimi_row = jax.tree_util.tree_map(take, mimi_state)
-            carry_row = jax.tree_util.tree_map(take, carry)
-            return flow_row, mimi_row, carry_row
+            def put(store_leaf, row_leaf):
+                if getattr(store_leaf, "ndim", 0) == 0:
+                    return store_leaf
+                return store_leaf.at[lanes].set(row_leaf.astype(store_leaf.dtype))
 
-        return jax.jit(park_fn)
+            rows_flow = jax.tree_util.tree_map(take, flow_state)
+            rows_flow = flow_lm.compact_state(rows_flow, 0)  # per-row front-gather
+            store_flow = jax.tree_util.tree_map(put, store_flow, rows_flow)
+            store_mimi = jax.tree_util.tree_map(
+                put, store_mimi, jax.tree_util.tree_map(take, mimi_state)
+            )
+            store_carry = jax.tree_util.tree_map(
+                put, store_carry, jax.tree_util.tree_map(take, carry)
+            )
+            return store_flow, store_mimi, store_carry
 
-    def _build_resume_fn(self):
-        """Jitted resume: scatter a parked stream's rows back into slot b.
-        The mirror of admission, except the carry resumes mid-flight values
-        (step/eos counters) instead of fresh ones and the Mimi row is the
-        stream's own streaming state rather than the shared warm row."""
+        return jax.jit(park_fn, donate_argnums=(3, 4, 5))
 
-        def resume_fn(flow_state, mimi_state, carry, flow_row, mimi_row, carry_row, b, widx_new):
+    def _build_resume_group_fn(self):
+        """Jitted group resume: scatter K parked lanes back into K slots in
+        ONE dispatch — the mirror of group admission, except the carry
+        resumes mid-flight values (step/EOS counters) and the Mimi rows are
+        the streams' own streaming state rather than the shared warm row.
+        The store is read-only (lanes are recycled host-side); the batch
+        state is donated."""
+
+        def resume_fn(flow_state, mimi_state, carry,
+                      store_flow, store_mimi, store_carry, lanes, slots, widx_new):
+            def take(leaf):
+                if getattr(leaf, "ndim", 0) == 0:
+                    return leaf
+                return leaf[lanes]
+
             def put(batch_leaf, row_leaf):
                 if getattr(batch_leaf, "ndim", 0) == 0:
                     return batch_leaf  # keep batch-common scalars (widx/tick)
-                return jax.lax.dynamic_update_slice_in_dim(
-                    batch_leaf, row_leaf.astype(batch_leaf.dtype), b, axis=0
-                )
+                return batch_leaf.at[slots].set(row_leaf.astype(batch_leaf.dtype))
 
+            rows_flow = jax.tree_util.tree_map(take, store_flow)
             transformer = jax.tree_util.tree_map(
-                put, flow_state["transformer"], flow_row["transformer"]
+                put, flow_state["transformer"], rows_flow["transformer"]
             )
-            # The parked row's entries sit in [0, valid); the batch write
-            # index must clear them (same contract as voice admission).
+            # Every resumed row's entries sit in [0, valid); the batch write
+            # index must clear the largest (same contract as voice admission).
             transformer["widx"] = jnp.maximum(flow_state["transformer"]["widx"], widx_new)
             flow_state = {
                 "transformer": transformer,
-                "pos": put(flow_state["pos"], flow_row["pos"]),
+                "pos": put(flow_state["pos"], rows_flow["pos"]),
             }
-            mimi_state = jax.tree_util.tree_map(put, mimi_state, mimi_row)
-            carry = jax.tree_util.tree_map(put, carry, carry_row)
+            mimi_state = jax.tree_util.tree_map(
+                put, mimi_state, jax.tree_util.tree_map(take, store_mimi)
+            )
+            carry = jax.tree_util.tree_map(
+                put, carry, jax.tree_util.tree_map(take, store_carry)
+            )
             return flow_state, mimi_state, carry
 
         return jax.jit(resume_fn, donate_argnums=(0, 1, 2))
 
-    def _precompile_park_resume(self):
-        """Compile the park and resume programs at startup (a park of the
-        inactive slot 0 resumed into itself with max_gen=0 — a no-op on the
-        fresh state). Without this the first preemption compiles mid-serving
-        and stalls every live stream."""
-        if not self.preempt:
-            return
-        b = next((i for i, s in enumerate(self._slots) if not s.active), None)
-        if b is None:
-            logger.warning(
-                "engine: no inactive slot for park/resume precompile; "
-                "the first preemption will compile mid-serving"
+    def _precompile_groups(self):
+        """Compile every park/resume group size NOW by round-tripping a slot
+        through the scratch lane. Without this the first preemption of an
+        unseen group size compiles mid-serving and stalls every live stream.
+
+        The round-trip is lossless even on an ACTIVE slot (growth-time
+        recompiles can find every slot busy): park compacts a COPY of the
+        slot's row into the scratch lane, and resuming it back writes the
+        front-compacted row over the original — a layout change attention is
+        invariant to (validity is per-entry slot_pos, and widx only grows)."""
+        b = next((i for i, s in enumerate(self._slots) if not s.active), 0)
+        for k in self._group_sizes():
+            slots = np.full((k,), b, np.int32)
+            lanes = np.full((k,), self.max_parked, np.int32)  # scratch lane
+            self._store_flow, self._store_mimi, self._store_carry = self._park_group_jit(
+                self.flow_state, self.mimi_state, self.carry,
+                self._store_flow, self._store_mimi, self._store_carry, slots, lanes,
             )
-            return
-        flow_row, mimi_row, carry_row = self._park_jit(
-            self.flow_state, self.mimi_state, self.carry, np.int32(b), np.int32(0)
-        )
-        carry_row = {**carry_row, "max_gen": jnp.zeros_like(carry_row["max_gen"])}
-        self.flow_state, self.mimi_state, self.carry = self._resume_jit(
-            self.flow_state,
-            self.mimi_state,
-            self.carry,
-            flow_row,
-            mimi_row,
-            carry_row,
-            np.int32(b),
-            np.int32(0),
-        )
+            self.flow_state, self.mimi_state, self.carry = self._resume_group_jit(
+                self.flow_state, self.mimi_state, self.carry,
+                self._store_flow, self._store_mimi, self._store_carry,
+                lanes, slots, jnp.int32(0),
+            )
 
     def _lead(self, handle: RequestHandle, now: float) -> Optional[float]:
         """Seconds of audio the stream's player holds beyond its playhead.
@@ -526,70 +577,87 @@ class TTSEngine:
             return None
         return handle._frames_delivered * self.frame_seconds - (now - t0)
 
-    def _park_slot(self, b: int, lead: float) -> None:
-        """Preempt slot b: lift its stream's state out and free the slot."""
-        slot = self._slots[b]
-        valid = min(-(-(self._pos[b] + 1) // 8) * 8, self.capacity)
-        flow_row, mimi_row, carry_row = self._park_jit(
-            self.flow_state, self.mimi_state, self.carry, np.int32(b), np.int32(valid)
+    def _execute_parks(self, plan: list[tuple[int, float]]) -> None:
+        """Park the planned victim slots — ONE group dispatch for all of
+        them. plan: [(slot, lead)]; caller guarantees a free lane each."""
+        lanes = [self._free_lanes.pop() for _ in plan]
+        k = next(s for s in self._group_sizes() if s >= len(plan))
+        pad = k - len(plan)
+        slots_arr = np.asarray([b for b, _ in plan] + [plan[-1][0]] * pad, np.int32)
+        lanes_arr = np.asarray(lanes + [lanes[-1]] * pad, np.int32)
+        self._store_flow, self._store_mimi, self._store_carry = self._park_group_jit(
+            self.flow_state, self.mimi_state, self.carry,
+            self._store_flow, self._store_mimi, self._store_carry,
+            slots_arr, lanes_arr,
         )
-        parked = _Parked(
-            handle=slot.handle,
-            flow_row=flow_row,
-            mimi_row=mimi_row,
-            carry_row=carry_row,
-            pos=self._pos[b],
-            valid=valid,
-            old_epoch=slot.epoch,
-        )
-        self._parked.append(parked)
-        self._parked_by_epoch[slot.epoch] = parked
-        self.preemptions += 1
-        logger.info(
-            "engine: parked request %d from slot %d (lead %.2f s)",
-            slot.handle.request_id,
-            b,
-            lead,
-        )
-        slot.active = False
-        slot.handle = None
+        for (b, lead), lane in zip(plan, lanes):
+            slot = self._slots[b]
+            parked = _Parked(
+                handle=slot.handle,
+                lane=lane,
+                pos=self._pos[b],
+                valid=min(-(-(self._pos[b] + 1) // 8) * 8, self.capacity),
+                old_epoch=slot.epoch,
+            )
+            self._parked.append(parked)
+            self._parked_by_epoch[slot.epoch] = parked
+            self.preemptions += 1
+            logger.info(
+                "engine: parked request %d from slot %d into lane %d (lead %.2f s)",
+                slot.handle.request_id, b, lane, lead,
+            )
+            slot.active = False
+            slot.handle = None
 
     def _drop_parked(self, parked: _Parked) -> None:
         self._parked.remove(parked)
         self._parked_by_epoch.pop(parked.old_epoch, None)
+        self._free_lanes.append(parked.lane)
 
-    def _resume_parked(self, parked: _Parked, b: int) -> bool:
-        """Scatter a parked stream back into free slot b; returns True if the
-        slot was consumed (False when the stream was cancelled while parked)."""
-        self._drop_parked(parked)
-        handle = parked.handle
-        if handle._cancelled.is_set():
-            handle._chunks.clear()
-            if not handle.done:
-                handle._queue.put(None)
-                handle._done.set()
+    def _execute_resumes(self, plan: list[tuple[_Parked, int]]) -> bool:
+        """Resume the planned parked streams into their slots — ONE group
+        dispatch for all of them. Streams cancelled while parked are finished
+        for free (their slot stays empty this tick)."""
+        live = []
+        for parked, b in plan:
+            if parked not in self._parked:
+                continue  # dropped (retired in a stale in-flight segment)
+            if parked.handle._cancelled.is_set():
+                self._drop_parked(parked)
+                handle = parked.handle
+                handle._chunks.clear()
+                if not handle.done:
+                    handle._queue.put(None)
+                    handle._done.set()
+                continue
+            live.append((parked, b))
+        if not live:
             return False
-        self.flow_state, self.mimi_state, self.carry = self._resume_jit(
-            self.flow_state,
-            self.mimi_state,
-            self.carry,
-            parked.flow_row,
-            parked.mimi_row,
-            parked.carry_row,
-            np.int32(b),
-            np.int32(parked.valid),
+        k = next(s for s in self._group_sizes() if s >= len(live))
+        pad = k - len(live)
+        lanes_arr = np.asarray(
+            [p.lane for p, _ in live] + [live[-1][0].lane] * pad, np.int32
         )
-        self._written = max(self._written, parked.valid)
-        self._pos[b] = parked.pos
-        slot = self._slots[b]
-        slot.active = True
-        slot.handle = handle
-        self._epoch_counter += 1
-        slot.epoch = self._epoch_counter
-        self.resumes += 1
-        logger.info(
-            "engine: resumed request %d into slot %d", handle.request_id, b
+        slots_arr = np.asarray([b for _, b in live] + [live[-1][1]] * pad, np.int32)
+        widx_new = max(p.valid for p, _ in live)
+        self.flow_state, self.mimi_state, self.carry = self._resume_group_jit(
+            self.flow_state, self.mimi_state, self.carry,
+            self._store_flow, self._store_mimi, self._store_carry,
+            lanes_arr, slots_arr, jnp.int32(widx_new),
         )
+        self._written = max(self._written, widx_new)
+        for parked, b in live:
+            self._drop_parked(parked)
+            self._pos[b] = parked.pos
+            slot = self._slots[b]
+            slot.active = True
+            slot.handle = parked.handle
+            self._epoch_counter += 1
+            slot.epoch = self._epoch_counter
+            self.resumes += 1
+            logger.info(
+                "engine: resumed request %d into slot %d", parked.handle.request_id, b
+            )
         return True
 
     def _pick_victims(self, want: int, now: float, exclude: set) -> list[int]:
@@ -824,14 +892,17 @@ class TTSEngine:
         )
         self.capacity = target
         self._voice_cache.clear()  # cached voices are padded to the old size
-        # Parked rows must match the batch cache's capacity at resume time.
-        for parked in self._parked:
-            parked.flow_row = self.model.flow_lm.expand_state(parked.flow_row, target)
+        # The parking store's lanes must match the batch cache's capacity at
+        # resume time (parked entries sit compacted at the row front, so
+        # zero-padding the tail is lossless).
+        if self.preempt:
+            self._store_flow = self.model.flow_lm.expand_state(self._store_flow, target)
         self._compact_jit = self.model._compact_jit(B, target, donate=True)
         # New capacity = new shapes for the admission and prefill programs.
         self._precompile_admission()
         self._precompile_prefill()
-        self._precompile_park_resume()
+        if self.preempt:
+            self._precompile_groups()
         # Compile the new compaction program now (and reclaim dead slots
         # while at it) instead of stalling live streams at first use.
         max_valid = -(-(max(self._pos) + 1) // 8) * 8
@@ -874,6 +945,14 @@ class TTSEngine:
 
         With block_seconds > 0 the first fetch blocks briefly — used by the
         run loop when fully idle so it doesn't busy-spin a CPU core.
+
+        The tick PLANS all slot moves first, then EXECUTES them as at most
+        three jitted dispatches — one group park (all victims), one group
+        admission (+ one prefill), one group resume — regardless of how many
+        streams move. The first preemption design dispatched per slot; a
+        16-arrival churn burst then cost ~32 dispatches of full-state arg
+        marshaling (~2 s of host time through the remote-dispatch relay),
+        which WAS the mid-churn TTFA problem.
         """
         from pocket_tts_tpu.models.tts_model import _bucket
 
@@ -882,7 +961,9 @@ class TTSEngine:
         now = time.monotonic()
         free = [b for b, s in enumerate(self._slots) if not s.active]
         touched: set = set()  # slots (re)filled this tick: not preemptable
-        resumed_any = False
+        plan_park: list[tuple[int, float]] = []  # (slot, lead)
+        plan_resume: list[tuple[_Parked, int]] = []  # (parked, slot)
+        planned: set = set()  # id(parked) already planned for resume
 
         if self._parked:
             urgent = sorted(
@@ -896,41 +977,42 @@ class TTSEngine:
             for parked in urgent:
                 if not free:
                     break
-                b = free[0]
-                if self._resume_parked(parked, b):
-                    free.pop(0)
-                    touched.add(b)
-                    resumed_any = True
+                b = free.pop(0)
+                plan_resume.append((parked, b))
+                planned.add(id(parked))
+                touched.add(b)
             # Swap-back: urgent parked streams with no free slot trade places
-            # with running streams holding swap_margin_s more lead. Bounded
-            # per tick; each swap is one park + one resume dispatch.
+            # with running streams holding swap_margin_s more lead — leads
+            # equalize (processor sharing) instead of the parked stream
+            # stalling. All swaps ride the same two group dispatches.
             swaps = 0
             for parked in urgent:
-                if parked not in self._parked or swaps >= self.max_swaps_per_tick:
+                if id(parked) in planned or swaps >= self.max_swaps_per_tick:
                     continue
+                if len(plan_park) >= len(self._free_lanes):
+                    break  # every free lane already claimed this tick
                 p_lead = self._lead(parked.handle, now) or 0.0
+                victims = {b for b, _ in plan_park}
                 best_b, best_lead = None, p_lead + self.swap_margin_s
                 for b, slot in enumerate(self._slots):
-                    if not slot.active or b in touched:
+                    if not slot.active or b in touched or b in victims:
                         continue
                     lead = self._lead(slot.handle, now)
                     if lead is not None and lead > best_lead:
                         best_b, best_lead = b, lead
                 if best_b is None:
                     continue
-                self._park_slot(best_b, best_lead)
-                if self._resume_parked(parked, best_b):
-                    touched.add(best_b)
-                    resumed_any = True
-                    swaps += 1
-                else:
-                    free.append(best_b)  # parked was cancelled; slot stays free
+                plan_park.append((best_b, best_lead))
+                plan_resume.append((parked, best_b))
+                planned.add(id(parked))
+                touched.add(best_b)
+                swaps += 1
 
+        # Lanes still free after the planned swaps bound how many more
+        # victims this tick may park for new admissions.
         preempt_budget = (
-            max(0, self.max_parked - len(self._parked)) if self.preempt else 0
+            len(self._free_lanes) - len(plan_park) if self.preempt else 0
         )
-        if not free and preempt_budget == 0:
-            return resumed_any
 
         admissible, deferred = [], []
         candidates = self._deferred
@@ -941,7 +1023,7 @@ class TTSEngine:
                 item = candidates.pop(0)
             else:
                 try:
-                    if first and block_seconds > 0:
+                    if first and block_seconds > 0 and not plan_resume:
                         item = self._pending.get(timeout=block_seconds)
                     else:
                         item = self._pending.get_nowait()
@@ -973,18 +1055,23 @@ class TTSEngine:
                 continue
             admissible.append(item)
 
-        # Preempt for the shortfall; whatever still has no slot (no victim
-        # had enough lead) waits on the deferred list for the next tick.
-        shortfall = len(admissible) - len(free)
+        # Plan victims for the shortfall; whatever still has no slot (no
+        # victim had enough lead) waits on the deferred list for next tick.
+        shortfall = min(len(admissible) - len(free), preempt_budget)
         if shortfall > 0:
-            for b in self._pick_victims(shortfall, now, touched):
-                self._park_slot(b, self._lead(self._slots[b].handle, now))
+            exclude = touched | {b for b, _ in plan_park}
+            for b in self._pick_victims(shortfall, now, exclude):
+                plan_park.append((b, self._lead(self._slots[b].handle, now)))
                 free.append(b)
         overflow = []
         while len(admissible) > len(free):
             overflow.append(admissible.pop())
         overflow.reverse()
         self._deferred = deferred + overflow + candidates
+
+        # ---- execute: group park -> group admit (+prefill) -> group resume
+        if plan_park:
+            self._execute_parks(plan_park)
 
         admitted_any = False
         if admissible:
@@ -1002,11 +1089,13 @@ class TTSEngine:
         for parked in list(self._parked):
             if not free:
                 break
-            b = free[0]
-            if self._resume_parked(parked, b):
-                free.pop(0)
-                touched.add(b)
-                resumed_any = True
+            if id(parked) in planned:
+                continue
+            b = free.pop(0)
+            plan_resume.append((parked, b))
+            planned.add(id(parked))
+            touched.add(b)
+        resumed_any = self._execute_resumes(plan_resume) if plan_resume else False
 
         # Short-tick rate limit: the 2-frame post-admission segment + its
         # blocking immediate delivery buys cold-burst TTFA but costs ~4x
