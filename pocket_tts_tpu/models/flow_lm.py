@@ -346,14 +346,17 @@ class FlowLMModel:
                 jnp.where(slot_pos >= 0, slot_pos, 2**30), axis=1
             )  # valid entries first, in position order
             gathered_pos = jnp.take_along_axis(slot_pos, order, axis=1)
-            idx = order[:, :, None, None]  # slot axis is dim 1
 
             def g(a):
-                return jnp.take_along_axis(
-                    a,
-                    jnp.broadcast_to(idx, (a.shape[0], a.shape[1], a.shape[2], a.shape[3])),
-                    axis=1,
-                )
+                # Whole-row gather on the [cap, H*d]-flattened cache: XLA
+                # lowers a[order] to one gather of contiguous 2 KiB rows.
+                # (Broadcasting the index to the full [B, cap, H, d] shape
+                # instead lowers to a PER-ELEMENT gather — measured ~290 ms
+                # per layer leaf at [16, 1024, 16, 64] on v5e, ~3 s per
+                # engine park group, vs sub-ms for the row form.)
+                B, cap = a.shape[0], a.shape[1]
+                flat = a.reshape(B, cap, -1)
+                return jax.vmap(lambda row, o: row[o])(flat, order).reshape(a.shape)
 
             return {"k": g(layer["k"]), "v": g(layer["v"]), "slot_pos": gathered_pos}
 
