@@ -237,6 +237,7 @@ class TTSEngine:
         self._parked_by_epoch: dict[int, _Parked] = {}
         self.preemptions = 0  # observability: total parks / resumes so far
         self.resumes = 0
+        self.swaps = 0  # fused slot<->lane exchanges (counted in both above)
         if self.preempt:
             # Device-resident parking store: max_parked lanes of slot-shaped
             # state, PLUS one scratch lane (index max_parked) that is never
@@ -255,6 +256,7 @@ class TTSEngine:
             self._free_lanes = list(range(self.max_parked))
             self._park_group_jit = self._build_park_group_fn()
             self._resume_group_jit = self._build_resume_group_fn()
+            self._swap_group_jit = self._build_swap_group_fn()
             self._precompile_groups()
         self._pending: "queue.Queue[tuple[RequestHandle, ModelState, int, int, list[int]]]" = (
             queue.Queue()
@@ -543,6 +545,74 @@ class TTSEngine:
 
         return jax.jit(resume_fn, donate_argnums=(0, 1, 2))
 
+    def _build_swap_group_fn(self):
+        """Jitted group swap: exchange K victim slots' decode state with K
+        parked lanes' state in ONE dispatch — a fused park+resume.
+
+        The separate park-then-resume pair cannot express a swap when every
+        lane is occupied (park needs a free lane to write before resume can
+        vacate one), which is exactly the steady state swap-back exists for:
+        more logical streams than slots, every lane holding a parked stream.
+        The fused form has no such hazard — all reads (slot rows, lane rows)
+        are of the program's INPUTS, so victim rows land in the very lanes
+        the resumed streams vacate. Duplicate pad pairs write identical
+        values, like the park/resume groups. Everything is donated: each
+        buffer's rows are disjointly either kept or replaced."""
+        flow_lm = self.model.flow_lm
+
+        def swap_fn(flow_state, mimi_state, carry,
+                    store_flow, store_mimi, store_carry, slots, lanes, widx_new):
+            def take_slot(leaf):
+                if getattr(leaf, "ndim", 0) == 0:
+                    return leaf
+                return leaf[slots]
+
+            def take_lane(leaf):
+                if getattr(leaf, "ndim", 0) == 0:
+                    return leaf
+                return leaf[lanes]
+
+            def put_lane(store_leaf, row_leaf):
+                if getattr(store_leaf, "ndim", 0) == 0:
+                    return store_leaf
+                return store_leaf.at[lanes].set(row_leaf.astype(store_leaf.dtype))
+
+            def put_slot(batch_leaf, row_leaf):
+                if getattr(batch_leaf, "ndim", 0) == 0:
+                    return batch_leaf
+                return batch_leaf.at[slots].set(row_leaf.astype(batch_leaf.dtype))
+
+            # Victim slot rows -> lanes (front-compacted, the park contract).
+            victims_flow = flow_lm.compact_state(
+                jax.tree_util.tree_map(take_slot, flow_state), 0
+            )
+            new_store_flow = jax.tree_util.tree_map(put_lane, store_flow, victims_flow)
+            new_store_mimi = jax.tree_util.tree_map(
+                put_lane, store_mimi, jax.tree_util.tree_map(take_slot, mimi_state)
+            )
+            new_store_carry = jax.tree_util.tree_map(
+                put_lane, store_carry, jax.tree_util.tree_map(take_slot, carry)
+            )
+            # Lane rows -> slots (the resume contract, incl. widx clearing).
+            rows_flow = jax.tree_util.tree_map(take_lane, store_flow)
+            transformer = jax.tree_util.tree_map(
+                put_slot, flow_state["transformer"], rows_flow["transformer"]
+            )
+            transformer["widx"] = jnp.maximum(flow_state["transformer"]["widx"], widx_new)
+            flow_state = {
+                "transformer": transformer,
+                "pos": put_slot(flow_state["pos"], rows_flow["pos"]),
+            }
+            mimi_state = jax.tree_util.tree_map(
+                put_slot, mimi_state, jax.tree_util.tree_map(take_lane, store_mimi)
+            )
+            carry = jax.tree_util.tree_map(
+                put_slot, carry, jax.tree_util.tree_map(take_lane, store_carry)
+            )
+            return flow_state, mimi_state, carry, new_store_flow, new_store_mimi, new_store_carry
+
+        return jax.jit(swap_fn, donate_argnums=(0, 1, 2, 3, 4, 5))
+
     def _precompile_groups(self):
         """Compile every park/resume group size NOW by round-tripping a slot
         through the scratch lane. Without this the first preemption of an
@@ -560,6 +630,18 @@ class TTSEngine:
             self._store_flow, self._store_mimi, self._store_carry = self._park_group_jit(
                 self.flow_state, self.mimi_state, self.carry,
                 self._store_flow, self._store_mimi, self._store_carry, slots, lanes,
+            )
+            # Swap b <-> scratch: writes compact(b) over slot b (a layout
+            # change attention is invariant to) and compact(b) into scratch
+            # again — lossless, because park above just made scratch a copy
+            # of b's compacted row.
+            (
+                self.flow_state, self.mimi_state, self.carry,
+                self._store_flow, self._store_mimi, self._store_carry,
+            ) = self._swap_group_jit(
+                self.flow_state, self.mimi_state, self.carry,
+                self._store_flow, self._store_mimi, self._store_carry,
+                slots, lanes, jnp.int32(0),
             )
             self.flow_state, self.mimi_state, self.carry = self._resume_group_jit(
                 self.flow_state, self.mimi_state, self.carry,
@@ -657,6 +739,72 @@ class TTSEngine:
             self.resumes += 1
             logger.info(
                 "engine: resumed request %d into slot %d", parked.handle.request_id, b
+            )
+        return True
+
+    def _execute_swaps(self, plan: list[tuple["_Parked", int, float]]) -> bool:
+        """Swap the planned (parked stream, victim slot) pairs — ONE group
+        dispatch exchanging slot rows with lane rows, so no free lane is
+        needed (see _build_swap_group_fn). plan: [(parked, slot, victim_lead)].
+        Streams cancelled while parked are finished for free and their pair
+        is dropped (the victim keeps its slot this tick)."""
+        live = []
+        for parked, b, lead in plan:
+            if parked not in self._parked:
+                continue
+            if parked.handle._cancelled.is_set():
+                self._drop_parked(parked)
+                handle = parked.handle
+                handle._chunks.clear()
+                if not handle.done:
+                    handle._queue.put(None)
+                    handle._done.set()
+                continue
+            live.append((parked, b, lead))
+        if not live:
+            return False
+        k = next(s for s in self._group_sizes() if s >= len(live))
+        pad = k - len(live)
+        lanes_arr = np.asarray(
+            [p.lane for p, _, _ in live] + [live[-1][0].lane] * pad, np.int32
+        )
+        slots_arr = np.asarray([b for _, b, _ in live] + [live[-1][1]] * pad, np.int32)
+        widx_new = max(p.valid for p, _, _ in live)
+        (
+            self.flow_state, self.mimi_state, self.carry,
+            self._store_flow, self._store_mimi, self._store_carry,
+        ) = self._swap_group_jit(
+            self.flow_state, self.mimi_state, self.carry,
+            self._store_flow, self._store_mimi, self._store_carry,
+            slots_arr, lanes_arr, jnp.int32(widx_new),
+        )
+        self._written = max(self._written, widx_new)
+        for parked, b, lead in live:
+            slot = self._slots[b]
+            victim = _Parked(
+                handle=slot.handle,
+                lane=parked.lane,  # the lane the resumed stream vacates
+                pos=self._pos[b],
+                valid=min(-(-(self._pos[b] + 1) // 8) * 8, self.capacity),
+                old_epoch=slot.epoch,
+            )
+            self._parked.remove(parked)
+            self._parked_by_epoch.pop(parked.old_epoch, None)
+            self._parked.append(victim)
+            self._parked_by_epoch[victim.old_epoch] = victim
+            self._pos[b] = parked.pos
+            slot.active = True
+            slot.handle = parked.handle
+            self._epoch_counter += 1
+            slot.epoch = self._epoch_counter
+            self.preemptions += 1
+            self.resumes += 1
+            self.swaps += 1
+            logger.info(
+                "engine: swapped request %d (lead %.2f s) out of slot %d for "
+                "parked request %d (lane %d)",
+                victim.handle.request_id, lead, b,
+                parked.handle.request_id, parked.lane,
             )
         return True
 
@@ -963,7 +1111,8 @@ class TTSEngine:
         touched: set = set()  # slots (re)filled this tick: not preemptable
         plan_park: list[tuple[int, float]] = []  # (slot, lead)
         plan_resume: list[tuple[_Parked, int]] = []  # (parked, slot)
-        planned: set = set()  # id(parked) already planned for resume
+        plan_swap: list[tuple[_Parked, int, float]] = []  # (parked, slot, lead)
+        planned: set = set()  # id(parked) already planned for resume/swap
 
         if self._parked:
             urgent = sorted(
@@ -984,26 +1133,25 @@ class TTSEngine:
             # Swap-back: urgent parked streams with no free slot trade places
             # with running streams holding swap_margin_s more lead — leads
             # equalize (processor sharing) instead of the parked stream
-            # stalling. All swaps ride the same two group dispatches.
+            # stalling. Swaps ride ONE fused group dispatch that exchanges
+            # slot rows with lane rows, so they need no free lane — the
+            # steady state they exist for (more streams than slots) is
+            # exactly when every lane is occupied.
             swaps = 0
             for parked in urgent:
                 if id(parked) in planned or swaps >= self.max_swaps_per_tick:
                     continue
-                if len(plan_park) >= len(self._free_lanes):
-                    break  # every free lane already claimed this tick
                 p_lead = self._lead(parked.handle, now) or 0.0
-                victims = {b for b, _ in plan_park}
                 best_b, best_lead = None, p_lead + self.swap_margin_s
                 for b, slot in enumerate(self._slots):
-                    if not slot.active or b in touched or b in victims:
+                    if not slot.active or b in touched:
                         continue
                     lead = self._lead(slot.handle, now)
                     if lead is not None and lead > best_lead:
                         best_b, best_lead = b, lead
                 if best_b is None:
                     continue
-                plan_park.append((best_b, best_lead))
-                plan_resume.append((parked, best_b))
+                plan_swap.append((parked, best_b, best_lead))
                 planned.add(id(parked))
                 touched.add(best_b)
                 swaps += 1
@@ -1069,9 +1217,11 @@ class TTSEngine:
         overflow.reverse()
         self._deferred = deferred + overflow + candidates
 
-        # ---- execute: group park -> group admit (+prefill) -> group resume
+        # ---- execute: group park -> group admit (+prefill) -> group swap
+        # ---- -> group resume (slot/lane sets are disjoint across phases)
         if plan_park:
             self._execute_parks(plan_park)
+        swapped_any = self._execute_swaps(plan_swap) if plan_swap else False
 
         admitted_any = False
         if admissible:
@@ -1104,7 +1254,7 @@ class TTSEngine:
         # steady state. At most one short tick per 4 ticks.
         if admitted_any and self._ticks_since_short >= 4:
             self._just_admitted = True  # next tick runs the short segment
-        return admitted_any or resumed_any
+        return admitted_any or resumed_any or swapped_any
 
     def _retire_epoch(self, epoch: int) -> None:
         self._retired_epochs.add(epoch)

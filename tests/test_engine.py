@@ -290,6 +290,40 @@ def test_engine_preemption_exact_audio_at_temp_zero(model, voice):
         model.temp = old_temp
 
 
+def test_engine_swap_back_with_all_lanes_full(model, voice):
+    """Two streams sharing ONE slot with ONE parking lane must time-share it
+    through the fused swap program (the park-then-resume pair cannot run with
+    every lane occupied), and both must produce EXACTLY the audio of
+    unpreempted runs at temp=0."""
+    old_temp = model.temp
+    model.temp = 0.0
+    try:
+        t1 = "A very long sentence with many many words to speak aloud."
+        t2 = "Another equally long sentence that also has many words in it."
+        direct1 = model.generate_audio(voice, t1, frames_after_eos=2, warmup_frames=1)
+        direct2 = model.generate_audio(voice, t2, frames_after_eos=2, warmup_frames=1)
+
+        engine = TTSEngine(
+            model, slots=1, segment_frames=2, capacity=512, text_pad=32,
+            max_parked=1,
+            # Every running stream is preemptable, every parked stream is
+            # always urgent, and any lead difference justifies a swap: the
+            # two streams must ping-pong through the single lane.
+            preempt_min_lead_s=-1e9, resume_urgent_lead_s=1e9,
+            swap_margin_s=-1e9,
+        )
+        h1 = engine.submit(t1, voice, frames_after_eos=2)
+        for _ in range(3):
+            engine.step()  # h1 delivers first frames -> becomes preemptable
+        h2 = engine.submit(t2, voice, frames_after_eos=2)
+        engine.run(stop_when_idle=True)
+        assert engine.swaps >= 1, "the single-lane scenario must swap"
+        np.testing.assert_allclose(h1.audio(), direct1, rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(h2.audio(), direct2, rtol=1e-4, atol=1e-6)
+    finally:
+        model.temp = old_temp
+
+
 def test_engine_preemption_randomized(model, voice):
     """Aggressive preemption (every arrival parks a victim) across staggered
     submissions: every stream still completes with exactly its expected
