@@ -347,7 +347,7 @@ def _kernel(
     knew_refs = refs[L2 + n_out_head : L2 + n_out_head + num_layers]
     vnew_refs = refs[L2 + n_out_head + num_layers : L2 + n_out_head + 2 * num_layers]
     (
-        x_s, lnx_s, q16, k16, v16, attn16, h1_s, yacc_s, kv_k, kv_v,
+        x_s, lnx_s, qrow_s, h1_s, yacc_s, kv_k, kv_v,
         knrow_s, vnrow_s, kblk_s, vblk_s,
         sem_k, sem_v, sem_nk, sem_nv, sem_ak, sem_av,
     ) = refs[L2 + n_out_head + 2 * num_layers :]
@@ -387,10 +387,11 @@ def _kernel(
         swapped = jnp.where(lane % 2 == 0, -left, right)
         return x * cf + swapped * sf
 
-    def split_heads(flat, dst):
-        """[8, E] f32 (row 0 live, head-major lanes) -> dst [H, d]."""
-        for h in range(H):
-            dst[h, :] = flat[0, h * d : (h + 1) * d]
+    # Per-head values are read as STATIC 64-lane column slices of FLAT
+    # head-major rows (qrow_s / knrow_s / vnrow_s) — the same probe-P2
+    # pattern the cache reads use. The earlier [H, d] head scratches cost
+    # 3 x H split copies per layer plus H assembly copies after attention
+    # (~380 tiny Mosaic ops per frame at H=16, L=6) for no layout benefit.
 
     # ---- phase bodies (wired to grid phases per block mode below) --------
     def body_layer_start():
@@ -427,16 +428,16 @@ def _kernel(
         lnx_s[:, :] = _layer_norm_f32(x_s[:, :], ln_ref[0, 0][None, :], ln_ref[0, 1][None, :])
 
     def body_qk(jq, jk):
-        split_heads(rope(matmul_chunk(lnx_s[:, :], jq, _SQ)), q16)
+        qrow_s[:, :] = rope(matmul_chunk(lnx_s[:, :], jq, _SQ))
         k_rot = rope(matmul_chunk(lnx_s[:, :], jk, _SK))
-        split_heads(k_rot, k16)
         # Stash the flat head-major new-k row (cache dtype — same rounding
-        # the append would apply) for body_append's 8-row block build.
+        # the append would apply) for body_append's 8-row block build; the
+        # attention self-term reads its head slices (the cache rounding is
+        # exactly what the old f32 head scratch applied before use).
         knrow_s[:, :] = k_rot.astype(cache_dtype)
 
     def body_v(jv):
         v = matmul_chunk(lnx_s[:, :], jv, _SV)
-        split_heads(v, v16)
         vnrow_s[:, :] = v.astype(cache_dtype)
 
     def body_append():
@@ -502,20 +503,21 @@ def _kernel(
         # this is equivalent to <= today.
         valid = (sp_ref[0][:, None] >= 0) & (sp_ref[0][:, None] < qp)  # [C, 1]
         scale = 1.0 / math.sqrt(d)
-        for h in range(H):
+        if attn_mode == "skip":  # kernel-phase profiling only
+            yacc_s[0, :] = qrow_s[0, :]
+        for h in range(H if attn_mode != "skip" else 0):
             # Numerics mirror ops/attention._sdpa exactly: q is cast to the
             # cache dtype BEFORE the score product (f32 accumulation), the
             # 1/sqrt(d) scale applies to the f32 scores, and the softmax
             # weights are rounded to the cache dtype for the PV product. The
             # current frame's (k, v) take the same roundings they would have
-            # had as appended cache entries. Head h reads a STATIC 64-lane
-            # column slice of the (C, E) cache copy (probe P2).
-            q_h = q16[h, :].astype(cache_dtype)  # [d]
-            k_h = kv_k[:, h * d : (h + 1) * d]  # [C, d] cache dtype
-            v_h = kv_v[:, h * d : (h + 1) * d]
-            if attn_mode == "skip":  # kernel-phase profiling only
-                attn16[h, :] = q16[h, :]
-                continue
+            # had as appended cache entries: knrow_s/vnrow_s store exactly
+            # that rounding. Head h reads STATIC 64-lane column slices of
+            # the (C, E) cache copy and the flat rows (probe P2).
+            hs = slice(h * d, (h + 1) * d)
+            q_h = qrow_s[0, hs].astype(cache_dtype)  # [d]
+            k_h = kv_k[:, hs]  # [C, d] cache dtype
+            v_h = kv_v[:, hs]
             if attn_mode == "vpu":
                 # Elementwise-multiply + reduce on the VPU: a [C, d] x [d]
                 # matvec is too thin to feed the MXU (M=1 pads to 128 rows),
@@ -535,7 +537,7 @@ def _kernel(
                 # insertion as a no-op for 32-bit types.
                 scores = (
                     jax.lax.dot_general(
-                        k_h, q16[h, :][:, None].astype(cache_dtype),
+                        k_h, qrow_s[0, hs][:, None].astype(cache_dtype),
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
@@ -544,8 +546,8 @@ def _kernel(
             scores = jnp.where(valid, scores, _NEG_INF)
             s_self = (
                 jnp.sum(
-                    q16[h, :].astype(cache_dtype).astype(jnp.float32)
-                    * k16[h, :].astype(cache_dtype).astype(jnp.float32)
+                    q_h.astype(jnp.float32)
+                    * knrow_s[0, hs].astype(jnp.float32)
                 )
                 * scale
             )
@@ -563,15 +565,14 @@ def _kernel(
                     w, v_h, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
                 )  # [1, d]
             w_self = (e_self / denom).astype(cache_dtype).astype(jnp.float32)
-            v_self = v16[h, :].astype(cache_dtype).astype(jnp.float32)
-            attn16[h, :] = out[0] + w_self * v_self
+            v_self = vnrow_s[0, hs].astype(jnp.float32)
+            # Write this head's output lanes of the flat attention row
+            # directly (yacc_s is free at this phase — ff2 overwrites it
+            # later; rows 1..7 hold stale data but matmul output rows are
+            # independent and only row 0 is read, as is matmul_chunk's
+            # quant scale).
+            yacc_s[0, hs] = out[0] + w_self * v_self
 
-        # out-projection on the flattened head-major attention row. yacc_s is
-        # free at this phase (ff2 overwrites it later); rows 1..7 hold
-        # stale data but matmul output rows are independent and only row 0 is
-        # read (matmul_chunk's quant scale also reads row 0 only).
-        for h in range(H):
-            yacc_s[0, h * d : (h + 1) * d] = attn16[h, :]
         acc = matmul_chunk(yacc_s[:, :], jo, _SOUT)
         x_s[0, :] = x_s[0, :] + acc[0]
         lnx_s[:, :] = _layer_norm_f32(x_s[:, :], ln_ref[0, 2][None, :], ln_ref[0, 3][None, :])
@@ -926,10 +927,7 @@ def _invoke(
         scratch_shapes=[
             pltpu.VMEM((8, E), jnp.float32),  # x_s (residual stream)
             pltpu.VMEM((8, E), jnp.float32),  # lnx_s
-            pltpu.VMEM((H, d), jnp.float32),  # q16
-            pltpu.VMEM((H, d), jnp.float32),  # k16
-            pltpu.VMEM((H, d), jnp.float32),  # v16
-            pltpu.VMEM((H, d), jnp.float32),  # attn16
+            pltpu.VMEM((8, E), jnp.float32),  # qrow_s (flat roped q, row 0)
             pltpu.VMEM((8, 4 * E), jnp.bfloat16),  # h1_s (bf16: see body_ff1)
             pltpu.VMEM((8, E), jnp.float32),  # yacc_s
             pltpu.VMEM((C, E), cache_dtype),  # kv_k (unpadded lanes: E = H*d)

@@ -239,7 +239,7 @@ def _silu(x):
 
 
 # NOTE: the backbone phase bodies below deliberately mirror
-# fused_backbone._kernel (matmul_chunk, rope, split_heads, attention, FF) —
+# fused_backbone._kernel (matmul_chunk, rope, flat-row head slices, attention, FF) —
 # the two kernels close over different ref sets, so sharing the bodies would
 # couple their layouts. ANY numerics change to one MUST be mirrored in the
 # other; the parity tests tie both to the same XLA oracle.
@@ -276,7 +276,7 @@ def _seg_kernel(
     ko = refs[2 * L + 2 : 2 * L + 2 + L]  # HBM (C, E) outs aliased to k_hbm
     vo = refs[2 * L + 2 + L : 2 * L + 2 + 2 * L]
     (
-        x_s, lnx_s, q16, k16, v16, attn16, h1_s, yacc_s, kv_k, kv_v,
+        x_s, lnx_s, qrow_s, h1_s, yacc_s, kv_k, kv_v,
         lat_s, h_s, ada_s, fx_s, fy_s,
         krow_s, vrow_s, kblk_s, vblk_s, cfrow_s,
         sem_k, sem_v, sem_w,
@@ -319,9 +319,9 @@ def _seg_kernel(
         swapped = jnp.where(lane % 2 == 0, -left, right)
         return x * cf + swapped * sf
 
-    def split_heads(flat, dst):
-        for h in range(H):
-            dst[h, :] = flat[0, h * d : (h + 1) * d]
+    # Per-head values are read as STATIC 64-lane column slices of FLAT
+    # head-major rows (qrow_s / krow_s / vrow_s) — the same probe-P2 pattern
+    # the cache reads use; no [H, d] head scratches (see fused_backbone).
 
     def quad(r, c):
         return f_ref[0, r * MC : (r + 1) * MC, c * MC : (c + 1) * MC]
@@ -375,16 +375,15 @@ def _seg_kernel(
         )
 
     def body_qk(jq, jk):
-        split_heads(rope(matmul_chunk(lnx_s[:, :], jq, 0)), q16)
+        qrow_s[:, :] = rope(matmul_chunk(lnx_s[:, :], jq, 0))
         k_rot = rope(matmul_chunk(lnx_s[:, :], jk, 1))
-        split_heads(k_rot, k16)
         # Stash the flat new-k row (cache dtype — the rounding the append
-        # applies) for the aligned append block below.
+        # applies) for the aligned append block below; the attention
+        # self-term reads its head slices.
         krow_s[:, :] = k_rot.astype(cache_dtype)
 
     def body_v_append(jv):
         v = matmul_chunk(lnx_s[:, :], jv, 2)
-        split_heads(v, v16)
         vrow_s[:, :] = v.astype(cache_dtype)
         # Append this layer's new (k, v) row into the aliased HBM (C, E)
         # caches at row widx. Mosaic's tile rules forbid single-row HBM
@@ -431,11 +430,13 @@ def _seg_kernel(
         ) | ((rows_c >= sc_ref[1]) & (rows_c < widx))
         scale = 1.0 / math.sqrt(d)
         for h in range(H):
-            # Head h reads a STATIC 64-lane column slice of the (C, E)
-            # slot-major cache copy (scripts/mosaic_probe.py P2).
-            q_h = q16[h, :].astype(cache_dtype)
-            k_h = kv_k[:, h * d : (h + 1) * d]
-            v_h = kv_v[:, h * d : (h + 1) * d]
+            # Head h reads STATIC 64-lane column slices of the (C, E)
+            # slot-major cache copy and the flat head-major rows
+            # (scripts/mosaic_probe.py P2).
+            hs = slice(h * d, (h + 1) * d)
+            q_h = qrow_s[0, hs].astype(cache_dtype)
+            k_h = kv_k[:, hs]
+            v_h = kv_v[:, hs]
             scores = (
                 jnp.sum(
                     k_h.astype(jnp.float32) * q_h.astype(jnp.float32)[None, :],
@@ -448,7 +449,7 @@ def _seg_kernel(
             s_self = (
                 jnp.sum(
                     q_h.astype(jnp.float32)
-                    * k16[h, :].astype(cache_dtype).astype(jnp.float32)
+                    * krow_s[0, hs].astype(jnp.float32)
                 )
                 * scale
             )
@@ -459,10 +460,10 @@ def _seg_kernel(
             w = (e / denom).astype(cache_dtype)
             out = jnp.sum(w.astype(jnp.float32) * v_h.astype(jnp.float32), axis=0)
             w_self = (e_self / denom).astype(cache_dtype).astype(jnp.float32)
-            v_self = v16[h, :].astype(cache_dtype).astype(jnp.float32)
-            attn16[h, :] = out + w_self * v_self
-        for h in range(H):
-            yacc_s[0, h * d : (h + 1) * d] = attn16[h, :]
+            v_self = vrow_s[0, hs].astype(jnp.float32)
+            # This head's output lanes of the flat attention row, written
+            # directly (yacc_s is free at this phase; only row 0 is read).
+            yacc_s[0, hs] = out + w_self * v_self
         acc = matmul_chunk(yacc_s[:, :], jo, 3)
         x_s[0, :] = x_s[0, :] + acc[0]
         lnx_s[:, :] = _layer_norm_f32(
@@ -819,10 +820,7 @@ def fused_segment_decode(
         scratch_shapes=[
             pltpu.VMEM((8, E), jnp.float32),  # x_s
             pltpu.VMEM((8, E), jnp.float32),  # lnx_s
-            pltpu.VMEM((H, d), jnp.float32),  # q16
-            pltpu.VMEM((H, d), jnp.float32),  # k16
-            pltpu.VMEM((H, d), jnp.float32),  # v16
-            pltpu.VMEM((H, d), jnp.float32),  # attn16
+            pltpu.VMEM((8, E), jnp.float32),  # qrow_s (flat roped q, row 0)
             pltpu.VMEM((8, 4 * E), jnp.bfloat16),  # h1_s
             pltpu.VMEM((8, E), jnp.float32),  # yacc_s
             pltpu.VMEM((C, E), cache_dtype),  # kv_k (slot-major, unpadded lanes)
