@@ -93,6 +93,11 @@ def main() -> None:
     cos_s, sin_s = rope_angles(positions, E // H)
     is_bos = jnp.zeros((1,), jnp.bool_)
 
+    from pocket_tts_tpu.ops.fused_segment import segment_block_candidates
+
+    # Same static preference production resolves (tri at C<=512, else pair).
+    seg_block = segment_block_candidates(2 * C * E * 2)[0]
+
     @jax.jit
     def seg_call(lat):
         lats, eos, _, _, _ = fused_segment_decode(
@@ -101,28 +106,44 @@ def main() -> None:
             jnp.full((1,), pos0, jnp.int32), jnp.full((1,), widx0, jnp.int32),
             cos_s[0, :, 0], sin_s[0, :, 0],
             num_heads=H, seg_frames=S, interpret=args.interpret,
+            block=seg_block,
         )
         return jnp.tanh(lats[-1:])  # feedback keeps the chain serial
 
     cos1, sin1 = rope_angles(jnp.full((1, 1), pos0, jnp.int32), E // H)
     qpos1 = jnp.array([pos0], jnp.int32)
 
-    @jax.jit
-    def frame_chain(lat):
-        # S per-frame head-folded kernel calls (no flow head — this is the
-        # kernel-launch floor the segment kernel removes).
-        def body(_, l):
-            h, eos, _, _, _ = fused_backbone_step(
-                packed, head_packed, l, is_bos, ks, vs, slot_pos,
-                qpos1, cos1[0, 0, 0], sin1[0, 0, 0], qpos1,
-                num_heads=H, attn_mode="vpu", interpret=args.interpret,
-                block="quad" if C <= 512 else "pair",
-            )
-            return jnp.tanh(h[:, :32])
+    def make_frame_chain(attn_mode, int8_act=False):
+        @jax.jit
+        def frame_chain(lat):
+            # S per-frame head-folded kernel calls (no flow head — this is
+            # the kernel-launch floor the segment kernel removes).
+            # attn_mode="skip" stubs the attention inner loop: the delta vs
+            # "vpu" is the in-kernel attention phase cost per frame.
+            # int8_act=True removes the int8->bf16 weight upcast (the MXU
+            # consumes the int8 chunks directly).
+            def body(_, l):
+                h, eos, _, _, _ = fused_backbone_step(
+                    packed, head_packed, l, is_bos, ks, vs, slot_pos,
+                    qpos1, cos1[0, 0, 0], sin1[0, 0, 0], qpos1,
+                    num_heads=H, attn_mode=attn_mode, interpret=args.interpret,
+                    int8_act=int8_act,
+                    block="quad" if C <= 512 else "pair",
+                )
+                return jnp.tanh(h[:, :32])
 
-        return jax.lax.fori_loop(0, S, body, lat)
+            return jax.lax.fori_loop(0, S, body, lat)
 
-    for name, f in (("segment-kernel", seg_call), ("frame-kernel x S", frame_chain)):
+        return frame_chain
+
+    for name, f in (
+        ("segment-kernel", seg_call),
+        ("frame-kernel x S", make_frame_chain("vpu")),
+        ("frame attn=skip", make_frame_chain("skip")),
+        ("frame attn=mxu", make_frame_chain("mxu")),
+        ("frame int8_act", make_frame_chain("vpu", int8_act=True)),
+        ("frame i8act+skip", make_frame_chain("skip", int8_act=True)),
+    ):
         f(latent0).block_until_ready()
         best = None
         for _ in range(args.repeats):
