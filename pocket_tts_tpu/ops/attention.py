@@ -47,12 +47,6 @@ from pocket_tts_tpu.ops.linear import linear, qkv_proj
 from pocket_tts_tpu.ops.rope import apply_rope, rope_angles
 
 
-def flash_decode_enabled() -> bool:
-    """Route T=1 decode attention through the fused Pallas kernel
-    (ops/flash_decode.py). Read at trace time; default off (the XLA path is
-    the correctness oracle and works on every backend)."""
-    return os.environ.get("POCKET_TTS_FLASH_DECODE", "0") not in ("0", "", "false")
-
 Params = dict
 State = dict
 
@@ -225,26 +219,13 @@ class CausalKVAttention:
         k_read, v_read, sp_read = k_cache[:, :R], v_cache[:, :R], slot_pos[:, :R]
 
         q = q.transpose(0, 2, 1, 3)  # [B, H, T, d]
-        if T == 1 and flash_decode_enabled():
-            from pocket_tts_tpu.ops.flash_decode import flash_decode_attention
-
-            # Opt-in kernel keeps its head-major [B, H, C, d] interface; the
-            # transpose is a real copy, acceptable on this non-default path.
-            out = flash_decode_attention(
-                q[:, :, 0, :],
-                k_read.transpose(0, 2, 1, 3),
-                v_read.transpose(0, 2, 1, 3),
-                sp_read,
-                positions[:, 0],
-            )[:, :, None, :]
-        else:
-            # Query at absolute position p attends to slots holding positions
-            # [0, p]; invalid slots (-1) and padded queries are masked out.
-            valid = (
-                (sp_read[:, None, :] >= 0)
-                & (sp_read[:, None, :] <= positions[:, :, None])
-            )  # [B, T, R]
-            out = _sdpa_slots(q, k_read, v_read, valid[:, None])
+        # Query at absolute position p attends to slots holding positions
+        # [0, p]; invalid slots (-1) and padded queries are masked out.
+        valid = (
+            (sp_read[:, None, :] >= 0)
+            & (sp_read[:, None, :] <= positions[:, :, None])
+        )  # [B, T, R]
+        out = _sdpa_slots(q, k_read, v_read, valid[:, None])
 
         out = out.transpose(0, 2, 1, 3).reshape(B, T, self.embed_dim)
         new_state = {"k": k_cache, "v": v_cache, "slot_pos": slot_pos}

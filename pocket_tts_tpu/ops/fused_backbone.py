@@ -23,7 +23,7 @@ Numerics mirror the XLA oracle path:
     (k, v) enter the softmax algebraically (max/sum include the self score),
     identical to first appending to the cache and attending over it
   - GELU uses a polynomial erf (max abs err 1.5e-7; Mosaic lacks erf) — the
-    only deliberate deviation, shared with ops/fused_ff
+    only deliberate deviation
 
 The KV caches ride through the kernel as 2-D (C, H*d) slot-major views —
 a free reshape of the global [B, C, H, d] state layout (ops/attention.py) —

@@ -100,23 +100,6 @@ class StreamingTransformerLayer:
         return params[name]["scale"].astype(update.dtype) * update
 
     def _ff(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
-        from pocket_tts_tpu.ops.fused_ff import fused_ff, fused_ff_enabled
-
-        if (
-            self.layer_scale is None
-            and fused_ff_enabled()
-            and not isinstance(params["linear1"]["weight"], dict)  # not int8-quantized
-        ):
-            B, T, E = x.shape
-            out = fused_ff(
-                x.reshape(B * T, E),
-                params["norm2"]["weight"],
-                params["norm2"]["bias"],
-                params["linear1"]["weight"],
-                params["linear2"]["weight"],
-                eps=1e-5,
-            )
-            return out.reshape(B, T, E)
         h = layer_norm(x, params["norm2"]["weight"], params["norm2"]["bias"], eps=1e-5)
         h = linear(h, params["linear1"]["weight"])
         h = jax.nn.gelu(h, approximate=False)
