@@ -198,16 +198,28 @@ class MimiModel:
 
     def quantize(self, params: Params, latent: jnp.ndarray) -> jnp.ndarray:
         """'DummyQuantizer': 1x1 conv projecting [B, 32, T] -> [B, 512, T]
-        (reference: pocket_tts_mlx/modules/dummy_quantizer.py:7-19)."""
-        return conv1d(latent, params["quantizer"]["output_proj"]["weight"])
+        (reference: pocket_tts_mlx/modules/dummy_quantizer.py:7-19).
+
+        Emits the weight's serving dtype: decode_from_latent casts to it
+        anyway, so writing f32 here only to round it at the next op would
+        double the [B, 512, T] traffic for bit-identical values."""
+        w = params["quantizer"]["output_proj"]["weight"]
+        return conv1d(latent, w, out_dtype=w.dtype)
 
     def decode_from_latent(
         self, params: Params, latent: jnp.ndarray, state: State
     ) -> tuple[jnp.ndarray, State]:
         """Decode quantized latent frames [B, 512, T] into waveform
-        [B, 1, T*frame_size], advancing all streaming state."""
+        [B, 1, T*frame_size], advancing all streaming state.
+
+        Activations follow the serving weight dtype through the upsampler,
+        codec transformer and SEANet chain (bf16 halves the vocoder's HBM
+        activation traffic — the largest batch-regime phase); the emitted
+        waveform itself returns float32 (SEANetDecoder's final_dtype
+        island), and all carried conv overlap buffers stay float32."""
         new_state = dict(state)
-        emb = latent
+        wdt = params["decoder"]["model"][0]["conv"]["weight"].dtype
+        emb = latent.astype(wdt)
         if self.has_resample:
             emb, new_state["upsample"] = self.upsample(
                 params["upsample"]["convtr"]["convtr"], emb, state["upsample"]

@@ -89,10 +89,16 @@ class SEANetResnetBlock:
         return x + v
 
 
-def _iterate(layers, params, x, state=None):
-    """Run a (layer, params[, state]) chain, streaming if state is given."""
+def _iterate(layers, params, x, state=None, final_dtype=None):
+    """Run a (layer, params[, state]) chain, streaming if state is given.
+
+    `final_dtype` makes the LAST layer (the decoder's waveform-emitting
+    conv) return that dtype: under bf16 serving the features flow bf16
+    through the chain but the emitted waveform stays a float32 island
+    (the conv accumulates in f32 either way — see ops/conv.conv1d)."""
+    last = len(layers) - 1
     if state is None:
-        for layer, l_params in zip(layers, params["model"]):
+        for i, (layer, l_params) in enumerate(zip(layers, params["model"])):
             if layer is None:
                 x = _elu(x)
             elif isinstance(layer, SEANetResnetBlock):
@@ -100,9 +106,13 @@ def _iterate(layers, params, x, state=None):
             else:
                 key = "convtr" if isinstance(layer, StreamingConvTranspose1d) else "conv"
                 x = layer.forward(l_params[key], x)
+                if final_dtype is not None and i == last:
+                    x = x.astype(final_dtype)
         return x, None
     new_states = []
-    for layer, l_params, l_state in zip(layers, params["model"], state["model"]):
+    for i, (layer, l_params, l_state) in enumerate(
+        zip(layers, params["model"], state["model"])
+    ):
         if layer is None:
             x = _elu(x)
             new_states.append(l_state)
@@ -111,7 +121,10 @@ def _iterate(layers, params, x, state=None):
             new_states.append(s)
         else:
             key = "convtr" if isinstance(layer, StreamingConvTranspose1d) else "conv"
-            x, s = layer(l_params[key], x, l_state)
+            if final_dtype is not None and i == last and key == "conv":
+                x, s = layer(l_params[key], x, l_state, out_dtype=final_dtype)
+            else:
+                x, s = layer(l_params[key], x, l_state)
             new_states.append(s)
     return x, {"model": new_states}
 
@@ -287,8 +300,8 @@ class SEANetDecoder:
         return _init_chain_state(self.model, batch_size, dtype)
 
     def __call__(self, params: Params, z: jnp.ndarray, state: State) -> tuple[jnp.ndarray, State]:
-        return _iterate(self.model, params, z, state)
+        return _iterate(self.model, params, z, state, final_dtype=jnp.float32)
 
     def forward(self, params: Params, z: jnp.ndarray) -> jnp.ndarray:
-        y, _ = _iterate(self.model, params, z)
+        y, _ = _iterate(self.model, params, z, final_dtype=jnp.float32)
         return y

@@ -307,16 +307,61 @@ class WindowedRingAttention:
         k_cache = jnp.concatenate([state["k"][:, T:], k.astype(state["k"].dtype)], axis=1)
         v_cache = jnp.concatenate([state["v"][:, T:], v.astype(state["v"].dtype)], axis=1)
 
-        slots = jnp.arange(capacity, dtype=jnp.int32)
-        slot_pos = (pos + T - capacity)[:, None] + slots[None, :]  # [B, cap]
-
         q = q.transpose(0, 2, 1, 3)  # [B, H, T, d]
-        delta = positions[:, :, None] - slot_pos[:, None, :]  # [B, T, cap]
-        valid = (slot_pos[:, None, :] >= 0) & (delta >= 0) & (delta < self.context)
-        out = _sdpa_slots(q, k_cache, v_cache, valid[:, None])
+        out = self._banded_sdpa(q, k_cache, v_cache, pos, positions)
 
         out = out.transpose(0, 2, 1, 3).reshape(B, T, self.embed_dim)
         return linear(out, params["out_proj"]["weight"]), {"k": k_cache, "v": v_cache}
+
+    _QBLOCK = 128  # query-block length of the banded decode attention
+
+    def _banded_sdpa(self, q, k_cache, v_cache, pos, positions):
+        """Windowed attention over the ring, computed in query blocks.
+
+        Only a `context`-wide band of each query's scores row is live, but
+        the dense form materializes the full [B, H, T, cap] f32 scores —
+        ~1 GB/chunk at the batch-64 vocoder shape (T=512, cap=896), the
+        dominant codec-transformer traffic. Blocking queries into 128-row
+        tiles and slicing each tile's (context + 128)-wide key window cuts
+        the scores to [B, H, T, W] with W = 384 at context 250. Masked
+        entries underflow to exactly 0.0 in the f32 softmax, so the banded
+        output is BITWISE-equal to the dense form (tests/test_attention.py).
+        """
+        B, H, T, d = q.shape
+        capacity = k_cache.shape[1]
+        Q = self._QBLOCK
+        W = ((self.context - 1 + Q) + 127) // 128 * 128
+        base = pos + T - capacity  # absolute position held by slot 0
+
+        def block(qb, kb, vb, qpos_b, s):
+            slot_pos_b = base[:, None] + s + jnp.arange(W, dtype=jnp.int32)[None, :]
+            delta = qpos_b[:, :, None] - slot_pos_b[:, None, :]  # [B, Qb, W]
+            valid = (slot_pos_b[:, None, :] >= 0) & (delta >= 0) & (delta < self.context)
+            return _sdpa_slots(qb, kb, vb, valid[:, None])
+
+        if T % Q or W >= capacity:
+            # Short chunks (warmup frames, single-frame serving) and tiny
+            # rings: the dense form is already small.
+            slot_pos = base[:, None] + jnp.arange(capacity, dtype=jnp.int32)[None, :]
+            delta = positions[:, :, None] - slot_pos[:, None, :]  # [B, T, cap]
+            valid = (slot_pos[:, None, :] >= 0) & (delta >= 0) & (delta < self.context)
+            return _sdpa_slots(q, k_cache, v_cache, valid[:, None])
+
+        outs = []
+        for i in range(T // Q):
+            # Key window ending at the newest slot this block may see; the
+            # clamp keeps it in range, masking keeps it exact.
+            s = max(0, min(capacity - W, capacity - T + (i + 1) * Q - W))
+            outs.append(
+                block(
+                    lax.slice_in_dim(q, i * Q, (i + 1) * Q, axis=2),
+                    lax.slice_in_dim(k_cache, s, s + W, axis=1),
+                    lax.slice_in_dim(v_cache, s, s + W, axis=1),
+                    lax.slice_in_dim(positions, i * Q, (i + 1) * Q, axis=1),
+                    s,
+                )
+            )
+        return jnp.concatenate(outs, axis=2)
 
     def forward(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
         """Non-streaming windowed attention over a full sequence [B, T, E]

@@ -40,13 +40,18 @@ def conv1d(
     stride: int = 1,
     dilation: int = 1,
     groups: int = 1,
+    out_dtype=None,
 ) -> jnp.ndarray:
     """VALID 1D convolution, torch-layout weight (out, in/groups, k).
 
     Mixed precision follows linear(): activations cast down to the weight
-    dtype, float32 accumulation, result in the activation dtype.
+    dtype, float32 accumulation, result in the activation dtype (or
+    `out_dtype` when given — the waveform-emitting final conv returns
+    float32 from bf16 features at no extra HBM traffic, since the
+    accumulation is float32 either way).
     """
-    out_dtype = x.dtype
+    if out_dtype is None:
+        out_dtype = x.dtype
     if weight.dtype != x.dtype:
         x = x.astype(weight.dtype)
     y = lax.conv_general_dilated(
@@ -175,7 +180,9 @@ class StreamingConv1d:
             state["first"] = jnp.ones((batch_size,), dtype=jnp.bool_)
         return state
 
-    def __call__(self, params: Params, x: jnp.ndarray, state: State) -> tuple[jnp.ndarray, State]:
+    def __call__(
+        self, params: Params, x: jnp.ndarray, state: State, out_dtype=None
+    ) -> tuple[jnp.ndarray, State]:
         """Streaming step on a chunk [B, C, T]; T must be a multiple of stride."""
         B, C, T = x.shape
         assert T > 0 and T % self.stride == 0, "chunk length must be a multiple of stride"
@@ -194,10 +201,14 @@ class StreamingConv1d:
             stride=self.stride,
             dilation=self.dilation,
             groups=self.groups,
+            out_dtype=out_dtype,
         )
         new_state = dict(state)
         if overlap:
-            new_state["previous"] = x[:, :, -overlap:]
+            # Stored in the state's own dtype: under bf16 activations the
+            # carry buffers keep their float32 avals (jit carry stability;
+            # bf16 -> f32 -> bf16 round-trips losslessly on the next chunk).
+            new_state["previous"] = x[:, :, -overlap:].astype(state["previous"].dtype)
             if self.pad_mode == "replicate":
                 new_state["first"] = jnp.zeros_like(state["first"])
         return y, new_state
@@ -272,7 +283,9 @@ class StreamingConvTranspose1d:
         bias = params.get("bias")
         if bias is not None:
             new_partial = new_partial - bias.astype(y.dtype)[None, :, None]
-        return y[:, :, :-overlap], {"partial": new_partial}
+        # Carried in the state's own dtype (f32) so the jit carry aval is
+        # stable under bf16 activations.
+        return y[:, :, :-overlap], {"partial": new_partial.astype(state["partial"].dtype)}
 
     def forward(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
         """Non-streaming call: emit T*stride samples (drop the trailing partial)."""

@@ -174,3 +174,29 @@ def test_causal_read_limit_matches_full_read():
     # The append side is untouched: states identical at full capacity.
     for key in ("k", "v", "slot_pos"):
         np.testing.assert_array_equal(_np(lim_state[key]), _np(full_state[key]))
+
+
+def test_windowed_banded_matches_dense_bitwise(monkeypatch):
+    """The query-blocked (banded) ring attention must be BITWISE equal to
+    the dense [T, cap] form: every masked score underflows to exactly 0.0
+    in the f32 softmax, and the band always covers the live window. This
+    is the batch-vocoder decode shape class (T a multiple of 128,
+    context-wide band << capacity)."""
+    attn = WindowedRingAttention(embed_dim=64, num_heads=2, context=250)
+    params = attn.init_params(jax.random.PRNGKey(11))
+    B, T, cap = 2, 256, 640
+    x = RNG.standard_normal((B, T, 64)).astype(np.float32)
+
+    def run(start_pos):
+        state = attn.init_state(B, capacity=cap)
+        # Pre-roll one chunk so the ring holds history, then measure chunk 2.
+        pos0 = start_pos + jnp.arange(T, dtype=jnp.int32)[None, :]
+        _, state = attn(params, jnp.array(x), state, jnp.broadcast_to(pos0, (B, T)))
+        pos1 = pos0 + T
+        y, _ = attn(params, jnp.array(x)[:, ::-1], state, jnp.broadcast_to(pos1, (B, T)))
+        return _np(y)
+
+    banded = run(0)
+    monkeypatch.setattr(WindowedRingAttention, "_QBLOCK", 1 << 30)  # forces dense
+    dense = run(0)
+    np.testing.assert_array_equal(banded, dense)
