@@ -76,7 +76,7 @@ def _make_voice(model, frames: int = 125):
     return model._state_from_prompt(prompt)
 
 
-def bench_single_stream(model, voice, runs: int = 5) -> dict:
+def bench_single_stream(model, voice, runs: int = 9) -> dict:
     # Warmup: compile every jit in the path.
     _ = model.generate_audio(voice, TEXT, frames_after_eos=2)
 
@@ -102,7 +102,7 @@ def bench_single_stream(model, voice, runs: int = 5) -> dict:
     }
 
 
-def bench_streaming(model, voice, runs: int = 5) -> dict:
+def bench_streaming(model, voice, runs: int = 9) -> dict:
     """Single-stream STREAMING mode (frame-by-frame yields, doubling
     dispatch schedule) — must stay close to bulk mode's RTF (VERDICT r2
     item 8: within ~25%)."""
@@ -117,7 +117,7 @@ def bench_streaming(model, voice, runs: int = 5) -> dict:
     return {"rtf": rtfs[len(rtfs) // 2], "rtf_best": rtfs[-1]}
 
 
-def bench_ttfa(model, voice, runs: int = 5) -> dict:
+def bench_ttfa(model, voice, runs: int = 9) -> dict:
     # jit caches are warm after bench_single_stream; measure time to first frame.
     ttfas = []
     for _ in range(runs):
