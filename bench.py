@@ -41,15 +41,19 @@ FRAME = 1920
 # Per-regime serving dtype (measured on v5e, see BENCHMARKS.md):
 #  - single stream (B=1) is HBM-bandwidth/latency bound -> weight-only int8
 #    on the per-frame FlowLM reads wins (~15% per frame over bf16).
-#  - batch-64 is MXU-bound -> plain bf16 wins (int8's dequant-to-bf16 costs
-#    compute; bandwidth is amortized over the batch).
+#  - batch-64 is KV-cache-READ bound (r4 roofline; weights amortize over the
+#    batch, weight dtype is a wash) -> bf16 weights + int8 KV cache
+#    (per-row scales halve the dominant cache-read bytes).
 # Overridable for A/B runs: POCKET_TTS_BENCH_DTYPE forces one dtype for all.
 _FORCED = os.environ.get("POCKET_TTS_BENCH_DTYPE")
 SINGLE_DTYPE = _FORCED or "int8"
 BATCH_DTYPE = _FORCED or "bfloat16"
+# int8 KV cache for the batch/engine regimes (measured A/B in BENCHMARKS.md
+# "int8 KV cache"); POCKET_TTS_BENCH_KV_INT8=0 reverts to bf16 KV.
+BATCH_KV_INT8 = os.environ.get("POCKET_TTS_BENCH_KV_INT8", "1") not in ("0", "false", "")
 
 
-def _build_model(param_dtype: str):
+def _build_model(param_dtype: str, kv_int8: bool = False):
     from pocket_tts_tpu.models.tts_model import TTSModel
 
     model = TTSModel.load_model(
@@ -59,6 +63,10 @@ def _build_model(param_dtype: str):
         # weight-only int8 on the per-frame FlowLM reads (see
         # models/weights.quantize_int8; tests/test_int8.py pins the error).
         param_dtype=param_dtype,
+        # Batch/engine regime: int8 KV cache (per-row scales) halves the
+        # cache-read bytes of the read-bound batch decode. The B=1 model
+        # keeps bf16 KV so the decode megakernel stays on.
+        kv_int8=kv_int8,
         # Move audio device->host as int16 PCM (what a WAV writer/server
         # emits anyway); the API still returns float32.
         transfer_pcm16=True,
@@ -307,9 +315,9 @@ def main() -> None:
     streaming = bench_streaming(model, voice)
     ttfa = bench_ttfa(model, voice)
 
-    if BATCH_DTYPE != SINGLE_DTYPE:
+    if BATCH_DTYPE != SINGLE_DTYPE or BATCH_KV_INT8:
         del model
-        model = _build_model(BATCH_DTYPE)
+        model = _build_model(BATCH_DTYPE, kv_int8=BATCH_KV_INT8)
         voice = _make_voice(model)
     batch = bench_batch(model, voice, batch=64)
     engine = bench_engine(model, voice, batch=64)
@@ -322,7 +330,8 @@ def main() -> None:
         "vs_baseline": round(single["rtf"] / 30.0, 3),
         "extra": {
             "platform": platform,
-            "param_dtype": f"single={SINGLE_DTYPE},batch={BATCH_DTYPE}",
+            "param_dtype": f"single={SINGLE_DTYPE},batch={BATCH_DTYPE}"
+            + (",kv=int8" if BATCH_KV_INT8 else ""),
             "ttfa_p50_ms": round(ttfa["p50_ms"], 1),
             "batch64_aggregate_rtf": round(batch["aggregate_rtf"], 1),
             "batch64_aggregate_rtf_best": round(batch["aggregate_rtf_best"], 1),

@@ -121,6 +121,11 @@ def main() -> None:
         help="KV rows the attention READS (0 = full capacity); the chain "
         "keeps total frames under it so outputs stay valid",
     )
+    ap.add_argument(
+        "--kv", default="", choices=("", "int8"),
+        help="int8 = quantized FlowLM KV cache (per-row scales); halves the "
+        "cache-read bytes of the read-bound batch decode",
+    )
     args = ap.parse_args()
 
     from pocket_tts_tpu.models.generate import initial_carry
@@ -131,6 +136,7 @@ def main() -> None:
         eos_threshold=1e9, param_dtype=args.dtype, matmul_precision="default"
     )
     flow_lm, mimi = model.flow_lm, model.mimi
+    kv_dt = jnp.int8 if args.kv == "int8" else model.state_dtype
     B, S = args.batch, args.S
     params = model.params
     prompt = jax.random.normal(jax.random.PRNGKey(0), (B, 125, flow_lm.dim), jnp.float32) * 0.02
@@ -145,7 +151,7 @@ def main() -> None:
                           S, args.unroll, ablate, read_limit=args.read_limit or None),
             donate_argnums=(1, 2, 3),
         )
-        state0 = flow_lm.init_state(B, args.capacity, dtype=model.state_dtype)
+        state0 = flow_lm.init_state(B, args.capacity, dtype=kv_dt)
         flow_state = jax.jit(flow_lm.prefill)(params["flow_lm"], state0, prompt, lengths)
         mimi_state = mimi.init_decode_state(B, kv_dtype=model.state_dtype, max_chunk_frames=S)
         carry = initial_carry(flow_lm, B, [10**6] * B, [10**6] * B)
@@ -197,7 +203,7 @@ def main() -> None:
                                 model.noise_clamp, S, args.unroll),
                 donate_argnums=(1, 2, 3),
             )
-            state0 = flow_lm.init_state(B, args.capacity, dtype=model.state_dtype)
+            state0 = flow_lm.init_state(B, args.capacity, dtype=kv_dt)
             flow_state = jax.jit(flow_lm.prefill)(
                 params["flow_lm"], state0, prompt, lengths
             )

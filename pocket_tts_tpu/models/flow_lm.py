@@ -245,6 +245,9 @@ class FlowLMModel:
             and "fused" in t
             and "fused_head" in t
             and fused_head_enabled()
+            # The megakernel DMAs bf16 cache rows; the int8-KV cache (batch
+            # serving mode) routes through the XLA path instead.
+            and state["transformer"]["layers"][0]["k"].dtype != jnp.int8
             and StreamingTransformer._fused_capacity_ok(state["transformer"], kind="head")
         )
 
@@ -319,11 +322,16 @@ class FlowLMModel:
             if cur >= capacity:
                 return layer
             pad = capacity - cur
-            return {
-                "k": jnp.pad(layer["k"], ((0, 0), (0, pad), (0, 0), (0, 0))),
-                "v": jnp.pad(layer["v"], ((0, 0), (0, pad), (0, 0), (0, 0))),
-                "slot_pos": jnp.pad(layer["slot_pos"], ((0, 0), (0, pad)), constant_values=-1),
-            }
+
+            def grow(name, leaf):
+                # Every leaf is [B, C, ...] (k/v rows, slot_pos, int8-KV
+                # scales); new slots pad with -1 (invalid) for slot_pos and
+                # zeros otherwise.
+                widths = ((0, 0), (0, pad)) + ((0, 0),) * (leaf.ndim - 2)
+                fill = -1 if name == "slot_pos" else 0
+                return jnp.pad(leaf, widths, constant_values=fill)
+
+            return {name: grow(name, leaf) for name, leaf in layer.items()}
 
         layers = [grow_layer(l) for l in state["transformer"]["layers"]]
         transformer = {"layers": layers, "widx": state["transformer"]["widx"]}
@@ -358,7 +366,11 @@ class FlowLMModel:
                 flat = a.reshape(B, cap, -1)
                 return jax.vmap(lambda row, o: row[o])(flat, order).reshape(a.shape)
 
-            return {"k": g(layer["k"]), "v": g(layer["v"]), "slot_pos": gathered_pos}
+            out = {
+                name: (gathered_pos if name == "slot_pos" else g(leaf))
+                for name, leaf in layer.items()
+            }
+            return out
 
         layers = [compact_layer(l) for l in state["transformer"]["layers"]]
         return {

@@ -107,6 +107,8 @@ def _segment_kernel_ok(flow_lm, flow_params, flow_state, B, lsd_decode_steps) ->
     ):
         return False
     k = flow_state["transformer"]["layers"][0]["k"]  # [1, C, H, d] slot-major
+    if k.dtype == jnp.int8:
+        return False  # int8-KV cache: kernels carry no scale plumbing
     kv_bytes = 2 * k.shape[1] * k.shape[2] * k.shape[3] * k.dtype.itemsize
     from pocket_tts_tpu.ops.fused_backbone import bucket_allows
 

@@ -393,6 +393,7 @@ class TTSModel:
         matmul_precision: str = "default",
         transfer_pcm16: bool = False,
         mesh=None,
+        kv_int8: Optional[bool] = None,
     ):
         self.flow_lm = flow_lm
         self.mimi = mimi
@@ -427,6 +428,18 @@ class TTSModel:
         self.transfer_pcm16 = bool(transfer_pcm16)
         self._rng = jax.random.PRNGKey(seed)
         self.state_dtype = jnp.float32  # KV caches / ring buffers
+        # int8 FlowLM KV cache (batch-serving mode): rows quantize at append
+        # with per-row absmax scales, halving the cache-read bytes of the
+        # KV-read-bound batch decode (BENCHMARKS.md batch roofline; measured
+        # ~26% off the attention-read chain at B=64, R=512). All FlowLM
+        # states this model creates (voice, B=1, batch) carry the int8+scale
+        # layout, so engine row-movers splice them uniformly. The B=1 Pallas
+        # megakernel has no scale plumbing and falls back to XLA, so leave
+        # this OFF for single-stream-optimized models. Default: env
+        # POCKET_TTS_KV_INT8.
+        if kv_int8 is None:
+            kv_int8 = env_flag("POCKET_TTS_KV_INT8", False)
+        self.kv_int8 = bool(kv_int8)
         # Multi-chip serving: a jax.sharding.Mesh with ("dp", "tp") axes.
         # Params are tp-sharded (Megatron FF + attention-head TP), per-stream
         # state dp-sharded; None = single-device (parallel/mesh.py).
@@ -441,6 +454,13 @@ class TTSModel:
         """Platform name of the backing device (reference exposes a device
         property too; tts_model.py:79-81)."""
         return jax.devices()[0].platform
+
+    @property
+    def flow_state_dtype(self):
+        """Dtype of the FlowLM KV caches this model creates (int8 rows +
+        per-row scales in kv_int8 batch-serving mode; else state_dtype).
+        Mimi ring buffers always use state_dtype."""
+        return jnp.int8 if self.kv_int8 else self.state_dtype
 
     @property
     def sample_rate(self) -> int:
@@ -469,6 +489,7 @@ class TTSModel:
         mesh=None,
         dp: int = 1,
         tp: int = 1,
+        kv_int8: Optional[bool] = None,
     ) -> "TTSModel":
         """Create a TTSModel and load checkpoint weights.
 
@@ -535,6 +556,7 @@ class TTSModel:
             matmul_precision=matmul_precision,
             transfer_pcm16=transfer_pcm16,
             mesh=mesh,
+            kv_int8=kv_int8,
         )
         # Persist compiled executables across processes by default: a cold
         # CLI run otherwise pays every jit compile again (minutes on
@@ -877,7 +899,7 @@ class TTSModel:
         B, T, _ = prompt.shape
         capacity = _bucket(T)
         state = self._place_batch(
-            self.flow_lm.init_state(B, capacity, dtype=self.state_dtype), B
+            self.flow_lm.init_state(B, capacity, dtype=self.flow_state_dtype), B
         )
         lengths = jnp.full((B,), T, dtype=jnp.int32)
         fns = self._prefill_jit(B, T, capacity)

@@ -101,27 +101,61 @@ def _sdpa_slots(
     k: jnp.ndarray,  # [B, S, H, d] slot-major cache (may be bf16)
     v: jnp.ndarray,  # [B, S, H, d]
     valid: jnp.ndarray,  # bool, broadcastable to [B, H, Tq, S]
+    k_scale: jnp.ndarray | None = None,  # f32 [B, S] per-row dequant scales
+    v_scale: jnp.ndarray | None = None,  # (int8 KV cache mode)
 ) -> jnp.ndarray:
     """_sdpa over a slot-major [B, S, H, d] cache — dot_general batch dims
     absorb the layout difference, so no transpose is materialized. Numerics
-    identical to _sdpa (f32 scores/softmax, matmuls in the cache dtype)."""
+    identical to _sdpa (f32 scores/softmax, matmuls in the cache dtype).
+
+    int8 KV mode (k/v int8, scales given): the dots consume the int8 rows
+    upcast to bf16 — XLA fuses the convert into the dot's operand read, so
+    HBM traffic stays 1 byte/element — and the per-row scales are applied
+    OUTSIDE the contractions, exactly: scores·k_scale (the k rows share one
+    scale over H·d) and weights·v_scale folded into the f32 softmax weights
+    before the PV dot. The batch decode is KV-read bound (BENCHMARKS.md
+    batch roofline), so halving cache bytes is the direct lever.
+    """
     out_dtype = q.dtype
     d = q.shape[-1]
+    compute_dtype = jnp.bfloat16 if k.dtype == jnp.int8 else k.dtype
     scores = lax.dot_general(
-        q.astype(k.dtype),
-        k,
+        q.astype(compute_dtype),
+        k.astype(compute_dtype),
         dimension_numbers=(((3,), (3,)), ((0, 1), (0, 2))),
         preferred_element_type=jnp.float32,
-    ) * (1.0 / math.sqrt(d))  # [B, H, Tq, S]
+    )  # [B, H, Tq, S]
+    if k_scale is not None:
+        scores = scores * (k_scale * (1.0 / math.sqrt(d)))[:, None, None, :]
+    else:
+        scores = scores * (1.0 / math.sqrt(d))
     scores = jnp.where(valid, scores, _NEG_INF)
     weights = jax.nn.softmax(scores, axis=-1)
+    if v_scale is not None:
+        weights = weights * v_scale[:, None, None, :]
     out = lax.dot_general(
-        weights.astype(v.dtype),
-        v,
+        weights.astype(compute_dtype),
+        v.astype(compute_dtype),
         dimension_numbers=(((3,), (1,)), ((0, 1), (0, 2))),
         preferred_element_type=jnp.float32,
     )  # [B, H, Tq, d]
     return out.astype(out_dtype)
+
+
+def quantize_kv_rows(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-row int8 quantization of [B, T, H, d] K/V rows.
+
+    One absmax scale per appended frame row (over the H·d elements a slot
+    holds): rows are the cache's DMA/gather granularity, so the scale array
+    is tiny ([B, T] f32, 0.2% of the row bytes) and every downstream
+    row-mover (engine park/resume/swap, compaction, admission splice)
+    carries it exactly like slot_pos."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(2, 3))  # [B, T]
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale[:, :, None, None]), -127, 127
+    ).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
 
 
 def _init_proj_params(key: jax.Array, embed_dim: int, dtype) -> Params:
@@ -174,12 +208,21 @@ class CausalKVAttention:
         # Slot-major [B, slots, H, d]: an appended frame is one contiguous
         # H*d row — see the module docstring for why this layout is load-
         # bearing for the Pallas decode megakernel.
+        #
+        # dtype=int8 selects the quantized KV cache: rows store symmetric
+        # int8 with one f32 absmax scale per row ([B, capacity], shaped and
+        # moved exactly like slot_pos). Halves the cache-read bytes of the
+        # KV-read-bound batch decode (BENCHMARKS.md batch roofline).
         shape = (batch_size, capacity, self.num_heads, self.head_dim)
-        return {
+        state = {
             "k": jnp.zeros(shape, dtype=dtype),
             "v": jnp.zeros(shape, dtype=dtype),
             "slot_pos": jnp.full((batch_size, capacity), -1, dtype=jnp.int32),
         }
+        if jnp.dtype(dtype) == jnp.int8:
+            state["k_scale"] = jnp.zeros((batch_size, capacity), dtype=jnp.float32)
+            state["v_scale"] = jnp.zeros((batch_size, capacity), dtype=jnp.float32)
+        return state
 
     def __call__(
         self,
@@ -209,14 +252,25 @@ class CausalKVAttention:
 
         # k/v are already [B, T, H, d] — the slot-major cache appends them
         # with NO transpose (one contiguous T*H*d block per stream).
-        k_cache = lax.dynamic_update_slice(state["k"], k.astype(state["k"].dtype), (0, widx, 0, 0))
-        v_cache = lax.dynamic_update_slice(state["v"], v.astype(state["v"].dtype), (0, widx, 0, 0))
+        int8_kv = state["k"].dtype == jnp.int8
+        if int8_kv:
+            k_app, k_app_scale = quantize_kv_rows(k)
+            v_app, v_app_scale = quantize_kv_rows(v)
+        else:
+            k_app, v_app = k.astype(state["k"].dtype), v.astype(state["v"].dtype)
+        k_cache = lax.dynamic_update_slice(state["k"], k_app, (0, widx, 0, 0))
+        v_cache = lax.dynamic_update_slice(state["v"], v_app, (0, widx, 0, 0))
         slot_pos = lax.dynamic_update_slice(state["slot_pos"], positions, (0, widx))
+        if int8_kv:
+            k_scale = lax.dynamic_update_slice(state["k_scale"], k_app_scale, (0, widx))
+            v_scale = lax.dynamic_update_slice(state["v_scale"], v_app_scale, (0, widx))
 
         R = k_cache.shape[1]
         if read_limit is not None:
             R = max(8, min(int(read_limit), R))
         k_read, v_read, sp_read = k_cache[:, :R], v_cache[:, :R], slot_pos[:, :R]
+        ks_read = k_scale[:, :R] if int8_kv else None
+        vs_read = v_scale[:, :R] if int8_kv else None
 
         q = q.transpose(0, 2, 1, 3)  # [B, H, T, d]
         # Query at absolute position p attends to slots holding positions
@@ -225,10 +279,13 @@ class CausalKVAttention:
             (sp_read[:, None, :] >= 0)
             & (sp_read[:, None, :] <= positions[:, :, None])
         )  # [B, T, R]
-        out = _sdpa_slots(q, k_read, v_read, valid[:, None])
+        out = _sdpa_slots(q, k_read, v_read, valid[:, None], ks_read, vs_read)
 
         out = out.transpose(0, 2, 1, 3).reshape(B, T, self.embed_dim)
         new_state = {"k": k_cache, "v": v_cache, "slot_pos": slot_pos}
+        if int8_kv:
+            new_state["k_scale"] = k_scale
+            new_state["v_scale"] = v_scale
         return linear(out, params["out_proj"]["weight"]), new_state
 
     def forward(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:

@@ -221,6 +221,10 @@ class StreamingTransformer:
         from pocket_tts_tpu.ops.fused_backbone import bucket_allows
 
         k = state["layers"][0]["k"]  # [B, C, H, d] slot-major
+        if k.dtype == jnp.int8:
+            # int8-KV cache (batch serving mode): the megakernels DMA raw
+            # bf16 cache rows and carry no scale plumbing — XLA path.
+            return False
         kv_bytes = 2 * k.shape[1] * k.shape[2] * k.shape[3] * k.dtype.itemsize
         return bucket_allows(kind, k.shape[1], kv_bytes <= 8 * 1024 * 1024)
 

@@ -206,7 +206,7 @@ class TTSEngine:
         # slots batch-shard over dp and KV heads over tp — every tick then
         # runs as one SPMD program with XLA collectives over ICI.
         self.flow_state = model._place_batch(
-            flow_lm.init_state(B, capacity, dtype=model.state_dtype), B
+            flow_lm.init_state(B, capacity, dtype=model.flow_state_dtype), B
         )
         self.mimi_state = model._place_batch(
             mimi.init_decode_state(
@@ -246,7 +246,7 @@ class TTSEngine:
             # of a tick write the store in ONE group dispatch; all resumes
             # read it in one (see _build_park_group_fn).
             P = self.max_parked + 1
-            self._store_flow = flow_lm.init_state(P, capacity, dtype=model.state_dtype)
+            self._store_flow = flow_lm.init_state(P, capacity, dtype=model.flow_state_dtype)
             self._store_mimi = mimi.init_decode_state(
                 P, kv_dtype=model.state_dtype, max_chunk_frames=segment_frames
             )
@@ -911,7 +911,7 @@ class TTSEngine:
                 )
                 return
         dummy_voice = self.model.flow_lm.init_state(
-            1, self.capacity, dtype=self.model.state_dtype
+            1, self.capacity, dtype=self.model.flow_state_dtype
         )
         warm = self._warm_mimi()
         for k in self._admit_sizes():
