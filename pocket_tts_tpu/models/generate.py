@@ -256,7 +256,8 @@ def make_segment_fn(
             _segment_kernel_ok(flow_lm, flow_params, flow_state, B, lsd_decode_steps)
             and noise_seq.shape[0] % 8 == 0  # frame groups (fused_segment)
         ):
-            # Whole-segment Mosaic kernel (ops/fused_segment.py, opt-in):
+            # Whole-segment Mosaic kernel (ops/fused_segment.py, default
+            # ON; POCKET_TTS_FUSED_SEGMENT=0 opts out):
             # ALL S frames — input proj, backbone, head, flow ODE, KV/slot
             # appends — in one program; no per-frame launches at all.
             flow_state, last_latent, latents, eos_flags = _segment_kernel_call(

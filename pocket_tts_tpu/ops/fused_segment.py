@@ -27,10 +27,12 @@ else amortizes over the segment:
     timestep embeddings depend only on the (static) Euler schedule, so
     they are precomputed at pack time.
 
-DEFAULT OFF (POCKET_TTS_FUSED_SEGMENT=1 opts in) until measured on real
-hardware; the per-frame kernel + lax.scan path is the production default
-and the correctness oracle (tests/test_fused_segment.py pins parity in
-interpret mode).
+DEFAULT ON (POCKET_TTS_FUSED_SEGMENT=0 opts out; see
+fused_segment_enabled below): it passed the on-device parity gate at both
+serving buckets and beat the per-frame kernel + scan end-to-end. The
+per-frame kernel + lax.scan path remains the fallback (per-bucket compile
+probe degrades to it) and the correctness oracle
+(tests/test_fused_segment.py pins parity in interpret mode).
 
 Reference behavior covered: pocket_tts_mlx/models/flow_lm.py:31-142 (the
 per-frame decode semantics) + pocket_tts_mlx/modules/mlp.py:53-168 (the

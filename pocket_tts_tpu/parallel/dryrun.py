@@ -167,12 +167,14 @@ def dryrun_multichip(n_devices: int) -> None:
     # PUBLIC mesh API (TTSModel.load_model(mesh=...) + TTSEngine), so the
     # real memory layout and collectives are validated, not just the
     # plumbing (VERDICT r2 item 1).
-    n_frames = _dryrun_engine_tick_b6369a24(mesh)
+    n_frames, parks, resumes = _dryrun_engine_tick_b6369a24(mesh)
 
     print(
         f"dryrun_multichip OK: {n_devices} devices (dp={dp}, tp={tp}), "
         f"generate segment audio {audio.shape}, train loss {loss:.4f}, "
-        f"b6369a24 engine tick delivered {n_frames} frames"
+        f"b6369a24 engine tick delivered {n_frames} frames; churn preemption "
+        f"under the mesh OK ({parks} park(s), {resumes} resume(s) through the "
+        f"mesh-placed parking store)"
     )
 
 
@@ -194,6 +196,15 @@ def _dryrun_engine_tick_b6369a24(mesh) -> int:
         capacity=512,
         text_pad=16,
         warmup_frames=0,
+        # Preemption thresholds relaxed so the mid-tick arrival below parks
+        # a running stream deterministically — the sharded park/resume path
+        # (gather dp-sharded slot rows -> mesh-placed store, and back) must
+        # compile and execute under the mesh, not just steady-state ticks
+        # (VERDICT r4 item 3). max_parked=2 keeps the group-size precompile
+        # set small (dryrun compile time).
+        preempt_min_lead_s=-1e9,
+        resume_urgent_lead_s=-1e9,
+        max_parked=2,
     )
     k = engine.flow_state["transformer"]["layers"][0]["k"]
     assert not k.sharding.is_fully_replicated, "engine KV must be mesh-sharded"
@@ -216,5 +227,28 @@ def _dryrun_engine_tick_b6369a24(mesh) -> int:
             n_frames += 1
     # The tick right after an admission runs the short TTFA segment.
     assert n_frames == engine.first_segment_frames * slots, n_frames
-    logger.info("b6369a24 sharded engine tick OK: %d frames", n_frames)
-    return n_frames
+
+    # Mid-tick churn arrival with every slot busy: the next tick must PARK a
+    # running stream into the mesh-placed store (sharded row gather + lane
+    # scatter over the mesh) and admit the arrival; the parked stream
+    # resumes when a slot frees. This executes the preemption programs under
+    # real dp x tp shardings, not just compiles them.
+    store_k = engine._store_flow["transformer"]["layers"][0]["k"]
+    assert not store_k.sharding.is_fully_replicated, "parking store must be mesh-placed"
+    churn = engine.submit("Churn arrival while saturated.", voice, frames_after_eos=1)
+    engine.step()  # parks one victim, admits the churn stream
+    assert engine.preemptions >= 1, "churn arrival must park a victim"
+    assert np.isfinite(churn._queue.get_nowait()).all()
+    # Free the churn stream's slot (cancellation retires it at the next
+    # delivery) so the parked victim resumes promptly.
+    churn.cancel()
+    for _ in range(8):
+        if engine.resumes >= 1:
+            break
+        engine.step()
+    assert engine.resumes >= 1, "parked stream must resume into the freed slot"
+    logger.info(
+        "b6369a24 sharded engine tick OK: %d frames; churn park/resume OK "
+        "(%d parks, %d resumes)", n_frames, engine.preemptions, engine.resumes,
+    )
+    return n_frames, engine.preemptions, engine.resumes

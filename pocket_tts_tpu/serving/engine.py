@@ -47,6 +47,23 @@ logger = logging.getLogger(__name__)
 _EOS_NEVER = 2**30
 
 
+class EngineOverloaded(RuntimeError):
+    """Raised by submit() when the engine's pending backlog is full.
+
+    Admission control (VERDICT r4 item 1): past saturation, queueing only
+    converts every new request's TTFA into unbounded wait — the correct
+    serving behavior is to SHED load at the front door and tell the client
+    when to retry. `retry_after_s` estimates when a slot's worth of backlog
+    will have drained (from the engine's recent completion rate); HTTP
+    frontends surface it as `503` + `Retry-After` (serving/server.py)."""
+
+    def __init__(self, retry_after_s: float):
+        self.retry_after_s = float(retry_after_s)
+        super().__init__(
+            f"engine backlog full; retry after ~{self.retry_after_s:.1f}s"
+        )
+
+
 @dataclass
 class RequestHandle:
     """Consumer side of a submitted request: iterate frames() for audio."""
@@ -152,6 +169,7 @@ class TTSEngine:
         resume_urgent_lead_s: float = 0.6,
         swap_margin_s: float = 0.5,
         max_swaps_per_tick: int = 4,
+        max_pending: Optional[int] = None,
     ):
         self.model = model
         self.num_slots = slots
@@ -198,6 +216,17 @@ class TTSEngine:
         # of the parked stream stalling while it waits for a retirement.
         self.swap_margin_s = swap_margin_s
         self.max_swaps_per_tick = max_swaps_per_tick
+        # Admission control: submit() raises EngineOverloaded once the
+        # not-yet-admitted backlog (pending queue + deferred list) reaches
+        # max_pending. None = unbounded (library back-compat; a long batch
+        # script may legitimately queue thousands). Server frontends should
+        # always bound it (serving/server.py defaults to 2*slots) — an
+        # unbounded queue just converts overload into unbounded TTFA.
+        self.max_pending = max_pending
+        self.rejected = 0  # observability: submits shed by admission control
+        # Recent completion timestamps (utterances, not chunks) — the
+        # drain-rate estimate behind EngineOverloaded.retry_after_s.
+        self._completions: list = []
         self.frame_seconds = 1.0 / float(model.config.mimi.frame_rate)
 
         flow_lm, mimi = model.flow_lm, model.mimi
@@ -246,12 +275,26 @@ class TTSEngine:
             # of a tick write the store in ONE group dispatch; all resumes
             # read it in one (see _build_park_group_fn).
             P = self.max_parked + 1
-            self._store_flow = flow_lm.init_state(P, capacity, dtype=model.flow_state_dtype)
-            self._store_mimi = mimi.init_decode_state(
-                P, kv_dtype=model.state_dtype, max_chunk_frames=segment_frames
+            # Mesh placement: under model.mesh the store is placed with the
+            # SAME rule as the batch state (_place_batch) — 4-D KV leaves
+            # keep their head axis tp-sharded, so park/resume/swap never
+            # reshard the big axis; the lane axis (P, odd) replicates over
+            # dp, so a park is K row all-gathers over ICI (rows are small)
+            # rather than a pathological resharding of the whole store.
+            self._store_flow = model._place_batch(
+                flow_lm.init_state(P, capacity, dtype=model.flow_state_dtype), P
             )
-            self._store_carry = jax.tree_util.tree_map(
-                jnp.asarray, initial_carry(flow_lm, P, [0] * P, [0] * P)
+            self._store_mimi = model._place_batch(
+                mimi.init_decode_state(
+                    P, kv_dtype=model.state_dtype, max_chunk_frames=segment_frames
+                ),
+                P,
+            )
+            self._store_carry = model._place_batch(
+                jax.tree_util.tree_map(
+                    jnp.asarray, initial_carry(flow_lm, P, [0] * P, [0] * P)
+                ),
+                P,
             )
             self._free_lanes = list(range(self.max_parked))
             self._park_group_jit = self._build_park_group_fn()
@@ -330,7 +373,17 @@ class TTSEngine:
 
         Long texts are split into sentence chunks (same packing as the direct
         API); the handle's frames span all chunks in order.
+
+        Raises EngineOverloaded (with a retry_after_s drain estimate) when
+        max_pending is set and the not-yet-admitted backlog is full —
+        shedding at the front door instead of letting TTFA degrade without
+        bound past saturation.
         """
+        if self.max_pending is not None:
+            backlog = self.backlog
+            if backlog >= self.max_pending:
+                self.rejected += 1
+                raise EngineOverloaded(self._estimate_retry_after(backlog))
         max_tokens = min(max_tokens, self.text_pad)
         chunks = split_into_best_sentences(self.model.tokenizer, text, max_tokens)
 
@@ -384,6 +437,34 @@ class TTSEngine:
         fae, max_gen, tokens = specs[0]
         self._pending.put((handle, voice_state, fae, max_gen, tokens))
         return handle
+
+    # ----------------------------------------------------- admission control
+
+    @property
+    def backlog(self) -> int:
+        """Requests accepted but not yet decoding: queued + growth-deferred.
+        Chunk continuations of already-admitted requests re-enter _pending
+        and are counted — they hold capacity exactly like fresh arrivals."""
+        return self._pending.qsize() + len(self._deferred)
+
+    def _record_completion(self) -> None:
+        now = time.monotonic()
+        self._completions.append(now)
+        if len(self._completions) > 256:
+            del self._completions[:128]
+
+    def _estimate_retry_after(self, backlog: int) -> float:
+        """Seconds until roughly one backlog's worth of work drains, from
+        the recent completion rate. With no completion history yet (cold
+        engine slammed at startup) fall back to one utterance-ish estimate."""
+        now = time.monotonic()
+        recent = [t for t in self._completions[-64:] if now - t < 30.0]
+        if len(recent) >= 2 and now > recent[0]:
+            rate = len(recent) / (now - recent[0])  # completions/s
+            est = (backlog - self.num_slots + 1) / max(rate, 1e-3)
+        else:
+            est = 1.0
+        return float(min(max(est, 0.5), 30.0))
 
     # ------------------------------------------------------------ admission
 
@@ -1044,7 +1125,10 @@ class TTSEngine:
         # resume time (parked entries sit compacted at the row front, so
         # zero-padding the tail is lossless).
         if self.preempt:
-            self._store_flow = self.model.flow_lm.expand_state(self._store_flow, target)
+            self._store_flow = self.model._place_batch(
+                self.model.flow_lm.expand_state(self._store_flow, target),
+                self.max_parked + 1,
+            )
         self._compact_jit = self.model._compact_jit(B, target, donate=True)
         # New capacity = new shapes for the admission and prefill programs.
         self._precompile_admission()
@@ -1375,6 +1459,7 @@ class TTSEngine:
                 else:
                     handle._queue.put(None)
                     handle._done.set()
+                    self._record_completion()
                 slot = self._slots[b]
                 if slot.epoch == epoch:  # slot not yet re-admitted
                     slot.active = False

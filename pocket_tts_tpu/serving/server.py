@@ -16,7 +16,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from pocket_tts_tpu.data.audio import StreamingWAVWriter
 from pocket_tts_tpu.models.tts_model import TTSModel
-from pocket_tts_tpu.serving.engine import TTSEngine
+from pocket_tts_tpu.serving.engine import EngineOverloaded, TTSEngine
 
 logger = logging.getLogger(__name__)
 
@@ -43,6 +43,16 @@ def make_handler(model: TTSModel, engine: TTSEngine):
                 if voice not in voice_cache:
                     voice_cache[voice] = model.get_state_for_audio_prompt(voice)
                 handle = engine.submit(text, voice_cache[voice])
+            except EngineOverloaded as exc:
+                # Backpressure, not failure: the engine shed this request at
+                # the front door (bounded pending queue) — tell the client
+                # when a backlog's worth of work will have drained instead
+                # of queueing it into unbounded TTFA.
+                self.send_response(503, "engine saturated")
+                self.send_header("Retry-After", str(max(1, round(exc.retry_after_s))))
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
             except Exception as exc:  # noqa: BLE001
                 self.send_error(500, str(exc))
                 return
@@ -96,13 +106,26 @@ def main() -> int:
     parser.add_argument("--port", type=int, default=8080)
     parser.add_argument("--slots", type=int, default=8)
     parser.add_argument("--segment-frames", type=int, default=4)
+    parser.add_argument(
+        "--max-pending",
+        type=int,
+        default=None,
+        help="pending-queue bound before 503 (default: 2x slots; 0 = unbounded)",
+    )
     args = parser.parse_args()
+    max_pending = 2 * args.slots if args.max_pending is None else (
+        args.max_pending if args.max_pending > 0 else None
+    )
 
     logging.basicConfig(level=logging.INFO, format="%(message)s")
     logger.info("loading model...")
     model = TTSModel.load_model()
     engine = TTSEngine(
-        model, slots=args.slots, segment_frames=args.segment_frames, emit_pcm16=True
+        model,
+        slots=args.slots,
+        segment_frames=args.segment_frames,
+        emit_pcm16=True,
+        max_pending=max_pending,
     )
     engine.serve_forever_in_thread()
 

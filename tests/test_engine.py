@@ -405,3 +405,57 @@ def test_engine_preemption_disabled(model, voice):
     assert engine.preemptions == 0
     assert h1.audio().shape[0] == _expected_frames(model, "First stream words here.") * 1920
     assert h2.audio().shape[0] == _expected_frames(model, "Second stream words.") * 1920
+
+
+# --------------------------------------------------------- admission control
+
+
+def test_engine_rejects_when_saturated(model, voice):
+    """With max_pending set, submits past the backlog bound raise
+    EngineOverloaded with a positive Retry-After estimate; the accepted
+    requests are unaffected and complete with their exact frame counts."""
+    from pocket_tts_tpu.serving.engine import EngineOverloaded
+
+    engine = TTSEngine(
+        model, slots=1, segment_frames=2, capacity=512, text_pad=32,
+        max_pending=2,
+    )
+    texts = ["One two three.", "Four five six."]
+    accepted = [engine.submit(t, voice, frames_after_eos=2) for t in texts]
+    # Slot empty but nothing ticked yet: both sit in the pending queue
+    # (backlog = 2 = max_pending), so the next submit must shed.
+    with pytest.raises(EngineOverloaded) as exc:
+        engine.submit("Ten eleven twelve.", voice, frames_after_eos=2)
+    assert exc.value.retry_after_s > 0
+    assert engine.rejected == 1
+    engine.run(stop_when_idle=True)
+    for text, h in zip(texts, accepted):
+        assert h.done
+        assert h.audio().shape[0] == _expected_frames(model, text) * 1920
+    # Backlog drained: the engine accepts again.
+    h = engine.submit("Accepted after drain.", voice, frames_after_eos=2)
+    engine.run(stop_when_idle=True)
+    assert h.audio().size > 0
+
+
+def test_engine_retry_after_tracks_drain_rate(model, voice):
+    """After completions, the Retry-After estimate comes from the measured
+    drain rate (bounded to [0.5, 30] s), not the cold-start fallback."""
+    engine = TTSEngine(model, slots=2, segment_frames=4, capacity=512, text_pad=32)
+    hs = [engine.submit(f"Warm up number {i}.", voice, frames_after_eos=2) for i in range(2)]
+    engine.run(stop_when_idle=True)
+    assert all(h.done for h in hs)
+    assert len(engine._completions) == 2
+    est = engine._estimate_retry_after(backlog=8)
+    assert 0.5 <= est <= 30.0
+
+
+def test_engine_unbounded_by_default(model, voice):
+    """max_pending=None (library default) keeps the old accept-everything
+    behavior for batch scripts."""
+    engine = TTSEngine(model, slots=1, segment_frames=2, capacity=512, text_pad=32)
+    handles = [engine.submit(f"Request {i}.", voice, frames_after_eos=2) for i in range(12)]
+    assert engine.backlog == 12
+    engine.run(stop_when_idle=True)
+    assert all(h.done for h in handles)
+    assert engine.rejected == 0

@@ -44,6 +44,20 @@ def test_quantize_kv_rows_roundtrip():
     assert float(jnp.max(jnp.abs(back - x))) <= float(jnp.max(step)) * 0.5 + 1e-6
 
 
+def test_row_relative_error_pinned():
+    """Pin the docstring's quantization-quality claim directly: per-row
+    relative RMS error on Gaussian K/V at the shipped geometry (H=16, d=64)
+    is ~0.8% median and stays under 1.5% worst-row (ADVICE r4)."""
+    x = jnp.asarray(RNG.standard_normal((2, 64, 16, 64)).astype(np.float32))
+    q, scale = quantize_kv_rows(x)
+    back = np.asarray(q.astype(jnp.float32) * scale[:, :, None, None])
+    err = (back - np.asarray(x)).reshape(2 * 64, -1)
+    rows = np.asarray(x).reshape(2 * 64, -1)
+    rel = np.linalg.norm(err, axis=1) / np.linalg.norm(rows, axis=1)
+    assert float(np.median(rel)) < 0.01
+    assert float(rel.max()) < 0.015
+
+
 def test_zero_rows_quantize_safely():
     q, scale = quantize_kv_rows(jnp.zeros((1, 3, 2, 8)))
     assert float(jnp.max(jnp.abs(scale))) == 1.0  # guarded scale, no NaN

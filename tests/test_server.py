@@ -91,3 +91,43 @@ def test_error_paths(server):
     with pytest.raises(urllib.error.HTTPError) as exc:
         urllib.request.urlopen(f"{server}/tts?text=", timeout=30)
     assert exc.value.code == 400
+
+
+def test_saturated_engine_returns_503():
+    """Backpressure surfaces as HTTP 503 + Retry-After, not a hung request:
+    a dedicated server whose engine bound is 0 sheds every submit, so the
+    handler's EngineOverloaded path is deterministic."""
+    url = _bounded_server()
+    text = urllib.parse.quote("Shed me please.")
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(f"{url}/tts?text={text}", timeout=60)
+    assert exc.value.code == 503
+    assert int(exc.value.headers["Retry-After"]) >= 1
+
+
+_BOUNDED = {}
+
+
+def _bounded_server():
+    """A second server whose engine rejects everything (max_pending=0)."""
+    if "url" in _BOUNDED:
+        return _BOUNDED["url"]
+    cfg = tiny_config()
+    flow_lm = FlowLMModel(config=cfg.flow_lm, latent_dim=cfg.mimi.quantizer.dimension)
+    mimi = MimiModel(config=cfg.mimi)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    params = {"flow_lm": flow_lm.init_params(k1), "mimi": mimi.init_params(k2)}
+    model = TTSModel(
+        flow_lm=flow_lm, mimi=mimi, params=params,
+        tokenizer=FallbackWordTokenizer(4000), temp=0.7, lsd_decode_steps=1,
+        noise_clamp=None, eos_threshold=1e9, config=cfg, seed=0,
+    )
+    model.random_init = True
+    engine = TTSEngine(
+        model, slots=1, segment_frames=2, capacity=256, text_pad=32,
+        emit_pcm16=True, max_pending=0,
+    )
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(model, engine))
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    _BOUNDED["url"] = f"http://127.0.0.1:{httpd.server_port}"
+    return _BOUNDED["url"]
