@@ -147,14 +147,128 @@ def main() -> None:
         print(f"{name:10s} {us:8.1f} us/step  {gbs:7.0f} GB/s effective", flush=True)
         return us
 
+    def variant_readsum(q, kflat, vflat):
+        """Pure streaming read of K+V (one f32 reduce each): the achievable
+        bandwidth ceiling for this shape, no attention math at all. The
+        chained q enters as a broadcast scalar weight so iterations cannot
+        be CSE'd away (the multiply fuses into the read, no extra copy)."""
+        w = q[0, 0, 0, 0].astype(jnp.float32)
+        s = jnp.sum(kflat.astype(jnp.float32) * w, axis=(1, 2)) + jnp.sum(
+            vflat.astype(jnp.float32) * w, axis=(1, 2)
+        )  # [B]
+        return q + s[:, None, None, None].astype(q.dtype) * 1e-9
+
+    def variant_ind2(q, kflat, vflat, valid, M):
+        """Both dots through the head-indicator form — K and V read in their
+        NATIVE [B, C, H*d] layout, zero relayout anywhere. PV:
+        out[b, j] = sum_s w_exp[b, s, j] * V'[b, s, j] with w_exp = W @ M^T
+        fused into the reduce (XLA fuses the [B,C,H]x[H,J] expand +
+        multiply + sum into one pass over V')."""
+        B = q.shape[0]
+        qflat = q.reshape(B, H * D)
+        qm = qflat[:, :, None] * M[None]  # [B, J, H]
+        scores = jax.lax.dot_general(
+            kflat.astype(jnp.bfloat16),
+            qm.astype(jnp.bfloat16),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * (1.0 / np.sqrt(D))  # [B, C, H]
+        scores = jnp.where(valid[:, 0].transpose(0, 2, 1), scores, -1e9)
+        w = jax.nn.softmax(scores, axis=1)  # [B, C, H]
+        w_exp = jax.lax.dot_general(
+            w.astype(jnp.bfloat16),
+            M.T.astype(jnp.bfloat16),
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [B, C, J] -- expect XLA to fuse this into the reduce below
+        out = jnp.sum(w_exp * vflat.astype(jnp.float32), axis=1)  # [B, J]
+        return out.reshape(B, H, 1, D).astype(q.dtype)
+
+    ones_j = jnp.ones((H * D,), jnp.bfloat16)
+
+    def variant_readdot(q, kflat, vflat):
+        """MXU-based pure read: contract the minor dim with a ones vector —
+        one streaming pass per array, reduce on the MXU (usually the fastest
+        XLA-expressible bandwidth probe)."""
+        w = (ones_j * q[0, 0, 0, 0].astype(jnp.bfloat16))  # CSE guard
+        s = jax.lax.dot_general(
+            kflat, w, (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).sum(axis=1) + jax.lax.dot_general(
+            vflat, w, (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).sum(axis=1)
+        return q + s[:, None, None, None].astype(q.dtype) * 1e-9
+
+    def variant_pallas_read(q, kflat, vflat):
+        """Explicit Pallas streaming read: grid over row blocks, Pallas
+        double-buffers the block DMA; body is one f32 reduce per block.
+        What the hardware actually sustains with software pipelining —
+        if this beats readsum/readdot, XLA's pipelining (not the HBM) is
+        what the batch decode is leaving on the table."""
+        from jax.experimental import pallas as pl
+
+        BLK = 512  # rows of (H*D) lanes per grid step (1 MiB bf16)
+        rows = B * C
+        flat2 = kflat.reshape(rows, H * D)
+        flat2v = vflat.reshape(rows, H * D)
+
+        def kern(tok_ref, kref, vref, oref):
+            i = pl.program_id(0)
+
+            @pl.when(i == 0)
+            def _():
+                oref[...] = tok_ref[...] * 1e-20  # serializes the chain
+
+            part = jnp.sum(kref[...].astype(jnp.float32), axis=0) + jnp.sum(
+                vref[...].astype(jnp.float32), axis=0
+            )  # [H*D] per-lane partial sums
+            oref[...] += part.reshape(8, (H * D) // 8)
+
+        tok = q[0, :8, 0, :].astype(jnp.float32)  # [8, 64] -> pad lanes
+        tok = jnp.pad(tok, ((0, 0), (0, (H * D) // 8 - D)))
+        out = pl.pallas_call(
+            kern,
+            grid=(rows // BLK,),
+            in_specs=[
+                pl.BlockSpec((8, (H * D) // 8), lambda i: (0, 0)),
+                pl.BlockSpec((BLK, H * D), lambda i: (i, 0)),
+                pl.BlockSpec((BLK, H * D), lambda i: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec((8, (H * D) // 8), lambda i: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((8, (H * D) // 8), jnp.float32),
+        )(tok, flat2, flat2v)
+        return q + jnp.sum(out).astype(q.dtype) * 1e-9
+
     print(f"B={B} C={C} H={H} d={D}  KV bytes/step: bf16={bytes_bf16/1e6:.0f} MB "
           f"int8={bytes_int8/1e6:.0f} MB", flush=True)
+    kflat, vflat = k.reshape(B, C, H * D), v.reshape(B, C, H * D)
+    run("readsum", variant_readsum, (kflat, vflat), bytes_bf16)
+    run("readdot", variant_readdot, (kflat, vflat), bytes_bf16)
+    run("pallas_read", variant_pallas_read, (kflat, vflat), bytes_bf16)
     run("slots", variant_slots, (k, v, valid), bytes_bf16)
-    run("indicator", variant_indicator, (k.reshape(B, C, H * D), v, valid, M), bytes_bf16)
-    k_hsd = jnp.ascontiguousarray(k.transpose(0, 2, 1, 3))
-    v_hsd = jnp.ascontiguousarray(v.transpose(0, 2, 1, 3))
+    run("indicator", variant_indicator, (kflat, v, valid, M), bytes_bf16)
+    run("ind2", variant_ind2, (kflat, vflat, valid, M), bytes_bf16)
+    k_hsd = jnp.asarray(np.asarray(k.transpose(0, 2, 1, 3)))
+    v_hsd = jnp.asarray(np.asarray(v.transpose(0, 2, 1, 3)))
     run("hsd", variant_hsd, (k_hsd, v_hsd, valid), bytes_bf16)
     run("int8", variant_int8, (k8, v8, valid, k_scale, v_scale), bytes_int8)
+
+    # The round-5 Pallas kernel (ops/batch_attention.py): one streaming
+    # pass, indicator-matmul scores, online softmax.
+    from pocket_tts_tpu.ops.batch_attention import batch_decode_attention
+
+    sp = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[None], (B, C))
+    qpos = jnp.full((B,), C, jnp.int32)
+
+    def variant_kernel(q, k, v):
+        return batch_decode_attention(q, k, v, sp, qpos, num_heads=H)
+
+    def variant_kernel_int8(q, k8, v8):
+        return batch_decode_attention(
+            q, k8, v8, sp, qpos, k_scale, v_scale, num_heads=H
+        )
+
+    run("kernel", variant_kernel, (k, v), bytes_bf16)
+    run("kernel_i8", variant_kernel_int8, (k8, v8), bytes_int8)
 
 
 if __name__ == "__main__":

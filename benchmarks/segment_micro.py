@@ -34,6 +34,13 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=7)
     ap.add_argument("--calls", type=int, default=8)
     ap.add_argument("--interpret", action="store_true", help="CPU smoke run")
+    ap.add_argument(
+        "--residue", action="store_true",
+        help="kernel-residue decomposition (VERDICT r4 item 4): same bytes "
+        "at pair/tri/quad grid densities (42/24/18 steps per frame) fits the "
+        "per-grid-step fixed cost; VPU-op stubs (norm/rope/gelu/softmax, "
+        "same methodology as attn=skip) itemize the between-matmul work",
+    )
     args = ap.parse_args()
 
     from pocket_tts_tpu.config.schema import FlowLMConfig
@@ -113,7 +120,9 @@ def main() -> None:
     cos1, sin1 = rope_angles(jnp.full((1, 1), pos0, jnp.int32), E // H)
     qpos1 = jnp.array([pos0], jnp.int32)
 
-    def make_frame_chain(attn_mode, int8_act=False):
+    def make_frame_chain(attn_mode, int8_act=False, block=None, stub=""):
+        frame_block = block or ("quad" if C <= 512 else "pair")
+
         @jax.jit
         def frame_chain(lat):
             # S per-frame head-folded kernel calls (no flow head — this is
@@ -128,7 +137,8 @@ def main() -> None:
                     qpos1, cos1[0, 0, 0], sin1[0, 0, 0], qpos1,
                     num_heads=H, attn_mode=attn_mode, interpret=args.interpret,
                     int8_act=int8_act,
-                    block="quad" if C <= 512 else "pair",
+                    block=frame_block,
+                    stub=stub,
                 )
                 return jnp.tanh(h[:, :32])
 
@@ -136,14 +146,34 @@ def main() -> None:
 
         return frame_chain
 
-    for name, f in (
+    variants = [
         ("segment-kernel", seg_call),
         ("frame-kernel x S", make_frame_chain("vpu")),
         ("frame attn=skip", make_frame_chain("skip")),
         ("frame attn=mxu", make_frame_chain("mxu")),
         ("frame int8_act", make_frame_chain("vpu", int8_act=True)),
         ("frame i8act+skip", make_frame_chain("skip", int8_act=True)),
-    ):
+    ]
+    if args.residue:
+        variants = [
+            ("frame-kernel x S", make_frame_chain("vpu")),
+            # Same weight bytes at three grid densities: quad = 3 phases/
+            # layer (18 steps/frame), tri = 4 (24), pair = 7 (42). The slope
+            # of µs/frame over steps/frame is the per-grid-step fixed cost
+            # (semaphores, phase dispatch, DMA bookkeeping).
+            ("grid quad (18st)", make_frame_chain("vpu", block="quad")),
+            ("grid tri  (24st)", make_frame_chain("vpu", block="tri")),
+            ("grid pair (42st)", make_frame_chain("vpu", block="pair")),
+            # VPU-op stubs, one at a time (marginal = full - stubbed), then
+            # all together (how much of the residue is VPU work at all).
+            ("stub norm", make_frame_chain("vpu", stub="norm")),
+            ("stub rope", make_frame_chain("vpu", stub="rope")),
+            ("stub gelu", make_frame_chain("vpu", stub="gelu")),
+            ("stub softmax", make_frame_chain("vpu", stub="softmax")),
+            ("stub all-vpu", make_frame_chain("vpu", stub="norm,rope,gelu,softmax")),
+            ("stub all+skip", make_frame_chain("skip", stub="norm,rope,gelu,softmax")),
+        ]
+    for name, f in variants:
         f(latent0).block_until_ready()
         best = None
         for _ in range(args.repeats):

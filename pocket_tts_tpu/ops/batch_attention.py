@@ -1,0 +1,245 @@
+"""Pallas TPU batched decode-attention kernel (Tq=1) over the slot-major KV
+cache — one streaming pass, zero relayout, MXU-shaped score math.
+
+Why: the batch decode is KV-read bound (BENCHMARKS.md batch roofline), but
+XLA's lowering of the per-step attention leaves ~35% on the table at the
+serving shape (B=64, C=512, H=16, d=64): the batched dot_general forms
+decompose into B·H tiny [1, d] x [d, C] matvecs whose fixed issue latency —
+not the HBM stream — dominates (measured 575 µs/op vs a 368 µs pure-read
+floor; canonical [B, H, C, d] layout measures the SAME 566 µs, so relayout
+is not the cost — benchmarks/attn_micro.py). The int8-KV path is worse:
+XLA materializes the int8->bf16 upcast as a separate pass (734 µs/op for
+HALF the bytes).
+
+The kernel streams each stream's K/V rows exactly once in their NATIVE
+(C, H·d) slot-major layout and keeps the math MXU-shaped via the
+head-indicator trick:
+
+  scores[s, h] = K'[s, :] @ (q ⊙ M)[:, h]      -- ONE [blk, J] x [J, H]
+                                                  matmul per block (M is the
+                                                  0/1 head-indicator, J=H·d)
+  out[j]      = Σ_s softmax(w)[s, head(j)] · V'[s, j]
+              = Σ_s (W @ Mᵀ)[s, j] · V'[s, j]  -- [blk, H] x [H, J] matmul
+                                                  + one fused VPU
+                                                  multiply-reduce over V'
+
+Masking/validity matches ops/attention.CausalKVAttention exactly:
+valid = (slot_pos >= 0) & (slot_pos <= qpos), applied as -1e9 before the
+softmax; softmax in f32. int8 KV mode consumes the int8 rows directly
+(VPU upcast inside the streaming pass, per-row scales applied to scores
+and to the PV product exactly like _sdpa_slots).
+
+The C dimension is processed in row blocks with a running (max, sum, acc)
+— the standard online-softmax recursion — so any read_limit R (static,
+128-bucketed by the caller) works with VMEM ~2 blocks.
+
+Numerics vs the XLA oracle (_sdpa_slots): same operand roundings (bf16
+dots, f32 softmax) but different accumulation ORDER (indicator matmul sums
+64 zeros per head term; online softmax rescales) — parity is tested to
+float tolerance, not bitwise (tests/test_batch_attention.py).
+
+Dispatched from CausalKVAttention.__call__ for T==1 decode steps at B > 1
+on TPU (POCKET_TTS_BATCH_ATTN=0 opts out); every other path (prefill,
+T>1, CPU, B==1 megakernel) is unchanged.
+
+Reference behavior covered: pocket_tts_mlx/modules/attention.py:108-182
+(causal KV attention semantics) — redesigned as a TPU streaming kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pocket_tts_tpu.utils.env import env_flag
+
+_NEG_INF = -1e9
+
+
+def batch_attn_enabled() -> bool:
+    """Pallas batched decode attention, default ON for TPU batch decode
+    (measured 575 -> ~400 µs/op bf16 and 734 -> ~250 µs/op int8 at the
+    B=64, C=512 serving shape; see BENCHMARKS.md round-5 'batch attention
+    kernel'). POCKET_TTS_BATCH_ATTN=0 opts out (XLA dot_general path)."""
+    return env_flag("POCKET_TTS_BATCH_ATTN", True)
+
+
+def _kernel(
+    qpos_ref,  # [B] int32 scalar-prefetch: per-stream query positions
+    qm_ref,  # [1, J, H] f32 — this stream's (q ⊙ M) score operand
+    sp_ref,  # [1, blk] int32 — this block's slot positions
+    k_ref,  # [blk, J] cache dtype (bf16 | int8)
+    v_ref,  # [blk, J]
+    ks_ref,  # [1, blk] f32 per-row K scales (int8 mode; ones otherwise)
+    vs_ref,  # [1, blk] f32 per-row V scales
+    mt_ref,  # [H, J] bf16 — Mᵀ head-expansion constant
+    o_ref,  # [8, J] f32 out; row 0 = attention output, rows 1..7 unread
+    m_s,  # [8, 128] f32 scratch: running max (lanes 0..H-1 of row 0)
+    l_s,  # [8, 128] f32 scratch: running denom
+    acc_s,  # [8, J] f32 scratch: running numerator (row 0)
+    *,
+    num_heads: int,
+    head_dim: int,
+    blocks: int,
+    scale: float,
+    int8_kv: bool,
+):
+    b = pl.program_id(0)
+    c = pl.program_id(1)
+    H, d = num_heads, head_dim
+    J = H * d
+
+    @pl.when(c == 0)
+    def _():
+        m_s[...] = jnp.full_like(m_s, _NEG_INF)
+        l_s[...] = jnp.zeros_like(l_s)
+        acc_s[...] = jnp.zeros_like(acc_s)
+
+    kblk = k_ref[0]  # [blk, J] (block dims keep the leading 1)
+    if int8_kv:
+        kblk = kblk.astype(jnp.bfloat16)
+    # ONE MXU matmul for all heads' scores: [blk, J] x [J, H] -> [blk, H].
+    # f32 accumulation; q was folded into qm by the caller (q ⊙ M columns).
+    scores = jax.lax.dot(
+        kblk, qm_ref[0].astype(jnp.bfloat16), preferred_element_type=jnp.float32
+    )  # [blk, H]
+    if int8_kv:
+        scores = scores * ks_ref[0][:, None]
+    scores = scores * scale
+    valid = (sp_ref[0] >= 0) & (sp_ref[0] <= qpos_ref[b])  # [blk]
+    scores = jnp.where(valid[:, None], scores, _NEG_INF)
+
+    # Online softmax over the C blocks. m/l live in lanes 0..H-1 of row 0.
+    m_prev = m_s[0:1, :H]  # [1, H]
+    m_blk = jnp.max(scores, axis=0, keepdims=True)  # [1, H]
+    m_new = jnp.maximum(m_prev, m_blk)
+    alpha = jnp.exp(m_prev - m_new)  # [1, H]
+    w = jnp.exp(scores - m_new)  # [blk, H]; fully-masked rows -> exp(-inf)=0
+    # Mosaic note: exp(-1e9 - (-1e9)) = exp(0) = 1 would poison fully-masked
+    # blocks, so re-mask after the exp (w is f32; the select is free).
+    w = jnp.where(valid[:, None], w, 0.0)
+    l_s[0:1, :H] = l_s[0:1, :H] * alpha + jnp.sum(w, axis=0, keepdims=True)
+    m_s[0:1, :H] = m_new
+
+    # Expand per-head weights across each head's d lanes with ONE matmul
+    # ([blk, H] x [H, J]), then fused multiply-reduce against V' — V is read
+    # exactly once, in layout.
+    w_exp = jax.lax.dot(
+        w.astype(jnp.bfloat16), mt_ref[...], preferred_element_type=jnp.float32
+    )  # [blk, J]
+    vblk = v_ref[0].astype(jnp.float32)  # [blk, J]
+    if int8_kv:
+        vblk = vblk * vs_ref[0][:, None]  # per-row scales, f32 (as _sdpa_slots)
+    part = jnp.sum(w_exp * vblk, axis=0, keepdims=True)  # [1, J]
+    # Head -> lane expansion of the f32 rescale/denominator rows via an f32
+    # matmul against the 0/1 indicator: exact (each product is value x 1
+    # under f32 accumulation), so the online-softmax rescale loses nothing.
+    mt_f32 = mt_ref[...].astype(jnp.float32)
+    alpha_exp = jax.lax.dot(alpha, mt_f32, preferred_element_type=jnp.float32)
+    acc_s[0:1, :] = acc_s[0:1, :] * alpha_exp + part
+
+    @pl.when(c == blocks - 1)
+    def _():
+        l_exp = jax.lax.dot(
+            l_s[0:1, :H], mt_f32, preferred_element_type=jnp.float32
+        )  # [1, J]
+        out = jnp.zeros((8, J), jnp.float32)
+        out = out.at[0:1, :].set(acc_s[0:1, :] / jnp.maximum(l_exp, 1e-30))
+        o_ref[0] = out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "block_rows", "interpret")
+)
+def batch_decode_attention(
+    q: jnp.ndarray,  # [B, H, 1, d] (f32 or bf16) — post-RoPE queries
+    k: jnp.ndarray,  # [B, R, H, d] slot-major cache rows (bf16 | int8)
+    v: jnp.ndarray,  # [B, R, H, d]
+    slot_pos: jnp.ndarray,  # [B, R] int32 (-1 = invalid)
+    qpos: jnp.ndarray,  # [B] int32 query positions
+    k_scale: jnp.ndarray | None = None,  # [B, R] f32 (int8 mode)
+    v_scale: jnp.ndarray | None = None,
+    *,
+    num_heads: int,
+    block_rows: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """softmax(q·K/√d + mask)·V over the slot-major cache; returns
+    [B, H, 1, d] in q's dtype. Caller contract mirrors _sdpa_slots with
+    valid = (slot_pos >= 0) & (slot_pos <= qpos) — the decode-step masking
+    of CausalKVAttention (the appended row's own position == qpos, so the
+    self-term is included)."""
+    B, R, H, d = k.shape
+    J = H * d
+    int8_kv = k.dtype == jnp.int8
+    assert int8_kv == (k_scale is not None and v_scale is not None)
+    blk = block_rows if R % block_rows == 0 else 128
+    blk = min(blk, R)
+    assert R % blk == 0, (R, blk)  # R is always 128-bucketed by callers
+    blocks = R // blk
+
+    # Head-indicator constants. M: [J, H] with M[j, h] = (j // d == h);
+    # qm = q ⊙ M columns — [B, J, H], tiny (2 MB at B=64), built in XLA so
+    # the kernel never materializes per-head slices.
+    j_idx = jnp.arange(J, dtype=jnp.int32)
+    m_mat = (j_idx[:, None] // d == jnp.arange(H, dtype=jnp.int32)[None, :])
+    qflat = q.astype(jnp.float32).reshape(B, J)  # [B, H*d] head-major
+    qm = qflat[:, :, None] * m_mat.astype(jnp.float32)[None]  # [B, J, H]
+    mt = m_mat.T.astype(jnp.bfloat16)  # [H, J]
+
+    ones = jnp.ones((B, R), jnp.float32)
+    ks = k_scale.astype(jnp.float32) if int8_kv else ones
+    vs = v_scale.astype(jnp.float32) if int8_kv else ones
+
+    k2 = k.reshape(B, R, J)
+    v2 = v.reshape(B, R, J)
+
+    kernel = functools.partial(
+        _kernel,
+        num_heads=H,
+        head_dim=d,
+        blocks=blocks,
+        scale=1.0 / math.sqrt(d),
+        int8_kv=int8_kv,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, blocks),
+        in_specs=[
+            pl.BlockSpec((1, J, H), lambda b, c, _qp: (b, 0, 0)),  # qm
+            pl.BlockSpec((1, blk), lambda b, c, _qp: (b, c)),  # slot_pos
+            pl.BlockSpec((1, blk, J), lambda b, c, _qp: (b, c, 0)),  # k
+            pl.BlockSpec((1, blk, J), lambda b, c, _qp: (b, c, 0)),  # v
+            pl.BlockSpec((1, blk), lambda b, c, _qp: (b, c)),  # k_scale
+            pl.BlockSpec((1, blk), lambda b, c, _qp: (b, c)),  # v_scale
+            pl.BlockSpec((H, J), lambda b, c, _qp: (0, 0)),  # Mᵀ
+        ],
+        out_specs=pl.BlockSpec((1, 8, J), lambda b, c, _qp: (b, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((8, 128), jnp.float32),  # m_s
+            pltpu.VMEM((8, 128), jnp.float32),  # l_s
+            pltpu.VMEM((8, J), jnp.float32),  # acc_s
+        ],
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, 8, J), jnp.float32),
+        interpret=interpret,
+    )(
+        qpos.astype(jnp.int32),
+        qm,
+        slot_pos,
+        k2.reshape(B, blocks * blk, J),
+        v2.reshape(B, blocks * blk, J),
+        ks,
+        vs,
+        mt,
+    )
+    return out[:, 0, :].reshape(B, H, 1, d).astype(q.dtype)

@@ -316,7 +316,15 @@ def _kernel(
     attn_mode: str,
     block: str,
     head: bool,
+    stub: str = "",
 ):
+    # Profiling-only VPU-phase stubs (benchmarks/segment_micro.py --stub):
+    # comma-set of {"norm","rope","gelu","softmax"} — each replaces that VPU
+    # op with a near-free data-preserving stand-in so (full - stubbed) is
+    # its in-context marginal cost, the same methodology as attn_mode="skip"
+    # (VERDICT r4 item 4). Outputs are garbage under any stub; never used in
+    # serving dispatch.
+    stubs = frozenset(s for s in stub.split(",") if s)
     if head:
         # hx [8, 128] f32 (row 0 = latent zero-padded), win [128, E] bf16
         # (input_linear^T zero-padded rows), hw [8, E] f32 (head constants:
@@ -376,8 +384,14 @@ def _kernel(
         y = jnp.dot(xrow.astype(jnp.bfloat16), w, preferred_element_type=jnp.float32)
         return y * s_ref[0, srow, :][None, :]
 
+    # Stubbed forms for profiling (see `stubs` above): identity norms, no-op
+    # rope, GELU-less ff1, exp-less softmax.
+    ln_f32 = (lambda x, w, b: x) if "norm" in stubs else _layer_norm_f32
+
     def rope(x):
         """Interleaved-pair rotation on the flat head-major [8, E] row."""
+        if "rope" in stubs:
+            return x
         cf = cf_ref[0][None, :]
         sf = sf_ref[0][None, :]
         n = x.shape[1]
@@ -425,7 +439,7 @@ def _kernel(
             pltpu.make_async_copy(k_hbm[0], kv_k, sem_k).start()
             pltpu.make_async_copy(v_hbm[0], kv_v, sem_v).start()
 
-        lnx_s[:, :] = _layer_norm_f32(x_s[:, :], ln_ref[0, 0][None, :], ln_ref[0, 1][None, :])
+        lnx_s[:, :] = ln_f32(x_s[:, :], ln_ref[0, 0][None, :], ln_ref[0, 1][None, :])
 
     def body_qk(jq, jk):
         qrow_s[:, :] = rope(matmul_chunk(lnx_s[:, :], jq, _SQ))
@@ -552,8 +566,12 @@ def _kernel(
                 * scale
             )
             m = jnp.maximum(jnp.max(scores), s_self)
-            e = jnp.exp(scores - m)  # [C, 1]
-            e_self = jnp.exp(s_self - m)
+            if "softmax" in stubs:  # profiling: drop the transcendentals
+                e = jnp.maximum(scores - m + 1.0, 0.0)
+                e_self = 1.0
+            else:
+                e = jnp.exp(scores - m)  # [C, 1]
+                e_self = jnp.exp(s_self - m)
             denom = jnp.sum(e) + e_self
             w = (e / denom).astype(cache_dtype)
             if attn_mode == "vpu":
@@ -575,7 +593,7 @@ def _kernel(
 
         acc = matmul_chunk(yacc_s[:, :], jo, _SOUT)
         x_s[0, :] = x_s[0, :] + acc[0]
-        lnx_s[:, :] = _layer_norm_f32(x_s[:, :], ln_ref[0, 2][None, :], ln_ref[0, 3][None, :])
+        lnx_s[:, :] = ln_f32(x_s[:, :], ln_ref[0, 2][None, :], ln_ref[0, 3][None, :])
 
     # ---- prefetch the NEXT layer's KV right after this layer's attention
     # consumed the scratch (kv_k/kv_v are only read at the attention phase)
@@ -591,7 +609,8 @@ def _kernel(
     def body_ff1(pairs):
         for c, j in pairs:
             hcol = matmul_chunk(lnx_s[:, :], j, _SFF1 + c)
-            hcol = 0.5 * hcol * (1.0 + _erf(hcol * 0.7071067811865476))
+            if "gelu" not in stubs:  # profiling stub drops the erf
+                hcol = 0.5 * hcol * (1.0 + _erf(hcol * 0.7071067811865476))
             # h1_s stores bf16: ff2 casts the hidden to bf16 at its matmul
             # anyway (mirroring ops/linear), so rounding at the store is
             # bitwise-identical to rounding at the read — and it halves the
@@ -651,7 +670,7 @@ def _kernel(
                 # append — three more per-frame XLA launches folded away.
                 # y row 0 = h (post-norm); row 1 = the EOS logit broadcast
                 # across lanes (no scalar stores); rows 2..7 unread.
-                hn = _layer_norm_f32(
+                hn = ln_f32(
                     x_s[:, :], hw_ref[0, :][None, :], hw_ref[1, :][None, :]
                 )
                 y_ref[:, :] = hn
@@ -863,6 +882,7 @@ def _invoke(
     int8_act,
     attn_mode,
     block,
+    stub="",
 ):
     L = len(k_caches)
     head = head_packed is not None
@@ -882,6 +902,7 @@ def _invoke(
         attn_mode=attn_mode,
         block=block,
         head=head,
+        stub=stub,
     )
 
     # Caches ride as 2-D (C, E) slot-major views (free reshape of the
@@ -997,7 +1018,7 @@ def _rope_rows(cos, sin, H):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_heads", "interpret", "int8_act", "attn_mode", "block"),
+    static_argnames=("num_heads", "interpret", "int8_act", "attn_mode", "block", "stub"),
 )
 def fused_backbone_decode(
     packed: dict,
@@ -1014,6 +1035,7 @@ def fused_backbone_decode(
     int8_act: bool = False,
     attn_mode: str = "mxu",  # "mxu" | "vpu" | "skip" (profiling)
     block: str = "pair",  # "pair" | "quad" (4 MiB) | "tri" (3 MiB)
+    stub: str = "",  # profiling-only VPU-op stubs (see _kernel)
 ):
     """Run the full backbone decode step (body only) -> (y [1, E] f32,
     k_caches', v_caches': L x [C, H, d] UPDATED caches, cache dtype).
@@ -1041,7 +1063,7 @@ def fused_backbone_decode(
     H, d = num_heads, E // num_heads
     outs = _invoke(
         packed, None, x8, scalars, k_caches, v_caches, slot_pos, cf, sf,
-        num_heads, interpret, int8_act, attn_mode, block,
+        num_heads, interpret, int8_act, attn_mode, block, stub,
     )
     y = outs[0]
     return (
@@ -1053,7 +1075,7 @@ def fused_backbone_decode(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_heads", "interpret", "int8_act", "attn_mode", "block"),
+    static_argnames=("num_heads", "interpret", "int8_act", "attn_mode", "block", "stub"),
 )
 def fused_backbone_step(
     packed: dict,
@@ -1072,6 +1094,7 @@ def fused_backbone_step(
     int8_act: bool = False,
     attn_mode: str = "mxu",
     block: str = "pair",
+    stub: str = "",  # profiling-only VPU-op stubs (see _kernel)
 ):
     """The FULL FlowLM backbone step with the head folded in:
     (select latent/BOS -> input_linear) -> 6 backbone layers -> out_norm ->
@@ -1104,7 +1127,7 @@ def fused_backbone_step(
     )
     outs = _invoke(
         packed, head_packed, hx, scalars, k_caches, v_caches, slot_pos, cf, sf,
-        num_heads, interpret, int8_act, attn_mode, block,
+        num_heads, interpret, int8_act, attn_mode, block, stub,
     )
     y, spnew = outs[0], outs[1]
     h = y[0][None, :]

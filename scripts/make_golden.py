@@ -80,15 +80,37 @@ def main() -> None:
         lambda p, l, s: decode_mimi_frame(p["flow_lm"], p["mimi"], mimi, l, s)
     )(params, latent, mimi.init_decode_state(1))
 
+    # Tensor-checksum census: name -> (shape, dtype, sha256 of raw bytes)
+    # for EVERY tensor in the checkpoint file. Pins the exact weight bytes
+    # the goldens were produced from, so a later parity failure can be
+    # attributed (different checkpoint build vs real numerics regression)
+    # with no archaeology (VERDICT r4 item 8).
+    import hashlib
+
+    raw = load_safetensors(Path(ckpt))
+    census = {
+        name: {
+            "shape": list(np.asarray(t).shape),
+            "dtype": str(np.asarray(t).dtype),
+            "sha256": hashlib.sha256(np.ascontiguousarray(t).tobytes()).hexdigest(),
+        }
+        for name, t in sorted(raw.items())
+    }
+
     golden = {
         "checkpoint": Path(ckpt).name,
         "temp": 0.0,
         "prompt": "jax.random.normal(PRNGKey(7), (1, 16, 1024)) * 0.02",
         "latent0": np.asarray(latent)[0].astype(float).tolist(),
         "frame0_head": np.asarray(frame)[0][:64].astype(float).tolist(),
+        "tensor_census": census,
     }
     Path(args.output).write_text(json.dumps(golden, indent=1))
-    print(f"wrote {args.output}")
+    print(
+        f"wrote {args.output}: latent0[{len(golden['latent0'])}], "
+        f"frame0_head[{len(golden['frame0_head'])}], "
+        f"census of {len(census)} tensors"
+    )
 
 
 if __name__ == "__main__":

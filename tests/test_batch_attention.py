@@ -1,0 +1,95 @@
+"""Pallas batched decode-attention kernel vs the XLA oracle (_sdpa_slots).
+
+Interpret mode on CPU drives the real kernel body. Tolerance, not bitwise:
+the kernel's indicator-matmul scores and online-softmax rescale accumulate
+in a different order than the dot_general forms (module docstring)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pocket_tts_tpu.ops.attention import _sdpa_slots, quantize_kv_rows
+from pocket_tts_tpu.ops.batch_attention import batch_decode_attention
+
+RNG = np.random.default_rng(93)
+
+
+def _case(B, R, H, d, valid_frac=1.0, dtype=jnp.bfloat16):
+    q = jnp.asarray(RNG.standard_normal((B, H, 1, d)).astype(np.float32))
+    k = jnp.asarray(RNG.standard_normal((B, R, H, d)).astype(np.float32)).astype(dtype)
+    v = jnp.asarray(RNG.standard_normal((B, R, H, d)).astype(np.float32)).astype(dtype)
+    # Per-stream valid prefixes of different lengths + scattered invalids.
+    lens = RNG.integers(max(1, int(R * valid_frac * 0.5)), int(R * valid_frac) + 1, B)
+    sp = np.full((B, R), -1, np.int32)
+    for b, n in enumerate(lens):
+        sp[b, :n] = np.arange(n)
+    qpos = jnp.asarray(lens.astype(np.int32))  # query sits one past the prefix
+    return q, k, v, jnp.asarray(sp), qpos
+
+
+def _oracle(q, k, v, sp, qpos, ks=None, vs=None):
+    valid = (sp[:, None, None, :] >= 0) & (sp[:, None, None, :] <= qpos[:, None, None, None])
+    return _sdpa_slots(q.astype(jnp.bfloat16), k, v, valid, ks, vs)
+
+
+@pytest.mark.parametrize("B,R", [(4, 128), (3, 256), (8, 384)])
+def test_bf16_matches_oracle(B, R):
+    q, k, v, sp, qpos = _case(B, R, 4, 64)
+    ref = np.asarray(_oracle(q, k, v, sp, qpos), np.float32)
+    out = np.asarray(
+        batch_decode_attention(
+            q, k, v, sp, qpos, num_heads=4, block_rows=128, interpret=True
+        ),
+        np.float32,
+    )
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
+    # Tight on the well-conditioned bulk: median abs error ~bf16 rounding.
+    assert float(np.median(np.abs(out - ref))) < 2e-3
+
+
+def test_multi_block_online_softmax():
+    """R spanning several blocks exercises the (max, sum, acc) rescale."""
+    q, k, v, sp, qpos = _case(2, 512, 4, 64)
+    ref = np.asarray(_oracle(q, k, v, sp, qpos), np.float32)
+    out = np.asarray(
+        batch_decode_attention(
+            q, k, v, sp, qpos, num_heads=4, block_rows=128, interpret=True
+        ),
+        np.float32,
+    )
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_int8_matches_oracle():
+    q, k, v, sp, qpos = _case(3, 256, 4, 64, dtype=jnp.float32)
+    k8, ks = quantize_kv_rows(k)
+    v8, vs = quantize_kv_rows(v)
+    ref = np.asarray(_oracle(q, k8, v8, sp, qpos, ks, vs), np.float32)
+    out = np.asarray(
+        batch_decode_attention(
+            q, k8, v8, sp, qpos, ks, vs, num_heads=4, block_rows=128, interpret=True
+        ),
+        np.float32,
+    )
+    np.testing.assert_allclose(out, ref, rtol=3e-2, atol=3e-2)
+
+
+def test_prefix_masking_exact():
+    """Rows past each stream's prefix must contribute NOTHING: compare to an
+    oracle fed only the valid prefix (padded rows replaced by huge values
+    that would wreck the output if read)."""
+    B, R, H, d = 2, 256, 4, 64
+    q, k, v, sp, qpos = _case(B, R, H, d, valid_frac=0.4)
+    poison = jnp.where((sp < 0)[:, :, None, None], 1e4, 0.0)
+    k_p = (k.astype(jnp.float32) + poison).astype(k.dtype)
+    v_p = (v.astype(jnp.float32) + poison).astype(v.dtype)
+    ref = np.asarray(_oracle(q, k, v, sp, qpos), np.float32)
+    out = np.asarray(
+        batch_decode_attention(
+            q, k_p, v_p, sp, qpos, num_heads=H, block_rows=128, interpret=True
+        ),
+        np.float32,
+    )
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
