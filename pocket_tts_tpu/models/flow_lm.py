@@ -176,6 +176,7 @@ class FlowLMModel:
         eos_threshold: jnp.ndarray | float,
         noise: Optional[jnp.ndarray] = None,
         read_limit: Optional[int] = None,
+        batch_kernel: bool = False,
     ) -> tuple[State, jnp.ndarray, jnp.ndarray]:
         """One autoregressive step -> (state, next_latent [B, ldim], is_eos [B]).
 
@@ -200,7 +201,7 @@ class FlowLMModel:
 
         h, transformer_state = self.transformer(
             params["transformer"], x, state["transformer"], state["pos"][:, None],
-            read_limit=read_limit,
+            read_limit=read_limit, batch_kernel=batch_kernel,
         )
         h = layer_norm(
             h, params["out_norm"]["weight"], params["out_norm"]["bias"], eps=1e-5

@@ -187,6 +187,7 @@ def make_segment_fn(
     unroll: int = 1,
     emit_pcm16: bool = False,
     read_limit: Optional[int] = None,
+    batch_kernel: bool = False,
 ):
     """Build the pure segment function.
 
@@ -246,6 +247,7 @@ def make_segment_fn(
                 eos_threshold,
                 noise=noise_i,
                 read_limit=read_limit,
+                batch_kernel=batch_kernel,
             )
             return (flow_state, next_latent, jnp.zeros_like(bos)), (
                 next_latent,

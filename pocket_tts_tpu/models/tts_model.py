@@ -759,6 +759,23 @@ class TTSModel:
 
         return self._jit(("mimi_frame", B), build)
 
+    def _batch_attn_ok(self, B: int) -> bool:
+        """Static gate for the Pallas batched decode-attention kernel
+        (ops/batch_attention.py): B>1 decode on a single TPU chip. Under a
+        mesh the attention stays on XLA dot_generals (GSPMD partitions
+        those; a pallas_call would need explicit shard_map plumbing).
+        POCKET_TTS_FUSED_INTERPRET=1 lets CPU tests drive the production
+        dispatch in interpret mode."""
+        from pocket_tts_tpu.ops.batch_attention import batch_attn_enabled
+        from pocket_tts_tpu.ops.fused_backbone import fused_interpret_enabled
+
+        return (
+            B > 1
+            and self.mesh is None
+            and batch_attn_enabled()
+            and (jax.devices()[0].platform == "tpu" or fused_interpret_enabled())
+        )
+
     def _segment_jit(self, B: int, S: int, capacity: int, read_limit: int | None = None):
         lsd_steps = self.lsd_decode_steps
         noise_clamp = self.noise_clamp
@@ -771,6 +788,7 @@ class TTSModel:
             inner = make_segment_fn(
                 self.flow_lm, self.mimi, lsd_steps, noise_clamp, S, unroll=unroll,
                 emit_pcm16=self.transfer_pcm16, read_limit=read_limit,
+                batch_kernel=self._batch_attn_ok(B),
             )
 
             def fn(params, flow_state, mimi_state, carry, rng, temp, eos_threshold):

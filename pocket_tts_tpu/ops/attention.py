@@ -246,8 +246,17 @@ class CausalKVAttention:
         widx: jnp.ndarray = None,  # scalar int32 write index (stack-level state)
         rope_cache: tuple | None = None,
         read_limit: int | None = None,
+        batch_kernel: bool = False,
     ) -> tuple[jnp.ndarray, State]:
-        """read_limit (static) bounds the cache rows attention READS to
+        """batch_kernel (static) routes T==1, B>1 decode steps to the Pallas
+        streaming attention kernel (ops/batch_attention.py) — the XLA
+        dot_general forms are launch-latency bound at Tq=1 (BENCHMARKS.md
+        round-5 batch attention). The caller asserts platform fitness
+        (TPU, no mesh); this module additionally requires 128-aligned
+        lane/row geometry. Appends and state layout are IDENTICAL either
+        way — only the softmax(QK^T)V read path changes.
+
+        read_limit (static) bounds the cache rows attention READS to
         [:, :read_limit]: the decode step is KV-read bandwidth bound at
         batch (BENCHMARKS.md batch roofline), and a utterance's valid rows
         occupy only the front of the capacity bucket — the host knows how
@@ -286,13 +295,29 @@ class CausalKVAttention:
         vs_read = v_scale[:, :R] if int8_kv else None
 
         q = q.transpose(0, 2, 1, 3)  # [B, H, T, d]
-        # Query at absolute position p attends to slots holding positions
-        # [0, p]; invalid slots (-1) and padded queries are masked out.
-        valid = (
-            (sp_read[:, None, :] >= 0)
-            & (sp_read[:, None, :] <= positions[:, :, None])
-        )  # [B, T, R]
-        out = _sdpa_slots(q, k_read, v_read, valid[:, None], ks_read, vs_read)
+        if (
+            batch_kernel
+            and T == 1
+            and B > 1
+            and self.embed_dim % 128 == 0
+            and R % 128 == 0
+        ):
+            from pocket_tts_tpu.ops.batch_attention import batch_decode_attention
+            from pocket_tts_tpu.ops.fused_backbone import fused_interpret_enabled
+
+            out = batch_decode_attention(
+                q, k_read, v_read, sp_read, positions[:, 0],
+                ks_read, vs_read, num_heads=self.num_heads,
+                interpret=fused_interpret_enabled(),
+            )
+        else:
+            # Query at absolute position p attends to slots holding positions
+            # [0, p]; invalid slots (-1) and padded queries are masked out.
+            valid = (
+                (sp_read[:, None, :] >= 0)
+                & (sp_read[:, None, :] <= positions[:, :, None])
+            )  # [B, T, R]
+            out = _sdpa_slots(q, k_read, v_read, valid[:, None], ks_read, vs_read)
 
         out = out.transpose(0, 2, 1, 3).reshape(B, T, self.embed_dim)
         new_state = {"k": k_cache, "v": v_cache, "slot_pos": slot_pos}

@@ -101,12 +101,14 @@ def _kernel(
         acc_s[...] = jnp.zeros_like(acc_s)
 
     kblk = k_ref[0]  # [blk, J] (block dims keep the leading 1)
-    if int8_kv:
-        kblk = kblk.astype(jnp.bfloat16)
+    # Compute dtype mirrors _sdpa_slots: the cache dtype, with int8 rows
+    # upcast to bf16 (the upcast feeds the MXU operand stream — the fast
+    # int8 path; a VPU int8->f32 unpack measures ~5x slower, bw_probe.py).
+    cd = jnp.bfloat16 if int8_kv else kblk.dtype
     # ONE MXU matmul for all heads' scores: [blk, J] x [J, H] -> [blk, H].
     # f32 accumulation; q was folded into qm by the caller (q ⊙ M columns).
     scores = jax.lax.dot(
-        kblk, qm_ref[0].astype(jnp.bfloat16), preferred_element_type=jnp.float32
+        kblk.astype(cd), qm_ref[0].astype(cd), preferred_element_type=jnp.float32
     )  # [blk, H]
     if int8_kv:
         scores = scores * ks_ref[0][:, None]
@@ -130,7 +132,7 @@ def _kernel(
     # ([blk, H] x [H, J]), then fused multiply-reduce against V' — V is read
     # exactly once, in layout.
     w_exp = jax.lax.dot(
-        w.astype(jnp.bfloat16), mt_ref[...], preferred_element_type=jnp.float32
+        w.astype(cd), mt_ref[...].astype(cd), preferred_element_type=jnp.float32
     )  # [blk, J]
     vblk = v_ref[0].astype(jnp.float32)  # [blk, J]
     if int8_kv:

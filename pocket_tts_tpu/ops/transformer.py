@@ -115,12 +115,13 @@ class StreamingTransformerLayer:
         rope_cache: tuple | None = None,
         widx: jnp.ndarray | None = None,
         read_limit: int | None = None,
+        batch_kernel: bool = False,
     ) -> tuple[jnp.ndarray, State]:
         h = layer_norm(x, params["norm1"]["weight"], params["norm1"]["bias"], eps=1e-5)
         if self.attention_kind == "flow_lm":
             update, new_state = self.self_attn(
                 params["self_attn"], h, state, positions, widx, rope_cache=rope_cache,
-                read_limit=read_limit,
+                read_limit=read_limit, batch_kernel=batch_kernel,
             )
         else:
             update, new_state = self.self_attn(
@@ -181,6 +182,7 @@ class StreamingTransformer:
     def __call__(
         self, params: Params, x: jnp.ndarray, state: State, positions: jnp.ndarray,
         read_limit: int | None = None,
+        batch_kernel: bool = False,
     ) -> tuple[jnp.ndarray, State]:
         from pocket_tts_tpu.ops.rope import rope_angles
 
@@ -202,7 +204,8 @@ class StreamingTransformer:
         new_layer_states = []
         for layer, l_params, l_state in zip(self.layers, params["layers"], state["layers"]):
             x, l_state = layer(l_params, x, l_state, positions, rope_cache=rope_cache,
-                               widx=widx, read_limit=read_limit)
+                               widx=widx, read_limit=read_limit,
+                               batch_kernel=batch_kernel)
             new_layer_states.append(l_state)
         new_state: State = {"layers": new_layer_states}
         if widx is not None:

@@ -316,6 +316,9 @@ class TTSEngine:
                     # program halves the device->host audio bytes per tick (the
                     # server writes PCM16 anyway) at zero extra dispatches.
                     emit_pcm16=emit_pcm16,
+                    # Pallas batched decode attention (single-chip TPU only;
+                    # the mesh path keeps XLA dot_generals for GSPMD).
+                    batch_kernel=model._batch_attn_ok(B),
                 ),
                 donate_argnums=(1, 2, 3),
             )

@@ -93,3 +93,61 @@ def test_prefix_masking_exact():
         np.float32,
     )
     np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_production_dispatch_interpret(monkeypatch):
+    """The PRODUCTION wiring end-to-end: generate_audio_batch with the
+    kernel dispatched (interpret mode; 128-lane geometry so the dispatch
+    gate passes) must match the XLA path on the same model."""
+    monkeypatch.setenv("POCKET_TTS_FUSED_INTERPRET", "1")
+    from pocket_tts_tpu.config.schema import Config
+    from pocket_tts_tpu.models.flow_lm import FlowLMModel
+    from pocket_tts_tpu.models.mimi import MimiModel
+    from pocket_tts_tpu.models.text import FallbackWordTokenizer
+    from pocket_tts_tpu.models.tts_model import TTSModel
+    from tiny_config import tiny_config
+
+    cfg = tiny_config()
+    # 128-lane attention geometry (the kernel's dispatch gate requires
+    # embed_dim % 128 == 0); everything else stays tiny.
+    cfg = Config(**{
+        **cfg.model_dump(),
+        "flow_lm": {
+            **cfg.flow_lm.model_dump(),
+            "transformer": {
+                **cfg.flow_lm.transformer.model_dump(),
+                "d_model": 128, "num_heads": 2,
+            },
+            "lookup_table": {**cfg.flow_lm.lookup_table.model_dump(), "dim": 128},
+        },
+    })
+    flow_lm = FlowLMModel(config=cfg.flow_lm, latent_dim=cfg.mimi.quantizer.dimension)
+    mimi = MimiModel(config=cfg.mimi)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    params = {"flow_lm": flow_lm.init_params(k1), "mimi": mimi.init_params(k2)}
+
+    def build():
+        return TTSModel(
+            flow_lm=flow_lm, mimi=mimi, params=params,
+            tokenizer=FallbackWordTokenizer(4000), temp=0.0,
+            lsd_decode_steps=1, noise_clamp=None, eos_threshold=1e9,
+            config=cfg, seed=0,
+        )
+
+    prompt = jnp.asarray(RNG.standard_normal((1, 8, 128)).astype(np.float32)) * 0.02
+    texts = ["one two three", "four five"]
+
+    m = build()
+    assert m._batch_attn_ok(2)  # interpret env opens the gate on CPU
+    voice = m._state_from_prompt(prompt)
+    out_kernel = m.generate_audio_batch(voice, texts)
+
+    monkeypatch.setenv("POCKET_TTS_BATCH_ATTN", "0")
+    m2 = build()
+    assert not m2._batch_attn_ok(2)
+    voice2 = m2._state_from_prompt(prompt)
+    out_xla = m2.generate_audio_batch(voice2, texts)
+
+    for a, b in zip(out_kernel, out_xla):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-4)
