@@ -2,14 +2,14 @@
 cache — one streaming pass, zero relayout, MXU-shaped score math.
 
 Why: the batch decode is KV-read bound (BENCHMARKS.md batch roofline), but
-XLA's lowering of the per-step attention leaves ~35% on the table at the
-serving shape (B=64, C=512, H=16, d=64): the batched dot_general forms
-decompose into B·H tiny [1, d] x [d, C] matvecs whose fixed issue latency —
-not the HBM stream — dominates (measured 575 µs/op vs a 368 µs pure-read
-floor; canonical [B, H, C, d] layout measures the SAME 566 µs, so relayout
-is not the cost — benchmarks/attn_micro.py). The int8-KV path is worse:
-XLA materializes the int8->bf16 upcast as a separate pass (734 µs/op for
-HALF the bytes).
+XLA's lowering of the per-step attention leaves a large latency term on the
+table at the serving shape (B=64, C=512, H=16, d=64): the batched
+dot_general forms decompose into B·H tiny [1, d] x [d, C] matvecs whose
+fixed issue latency — not the HBM stream — dominates (measured 575 µs/op vs
+a 368 µs pure-read floor; the canonical [B, H, C, d] layout measures the
+SAME 566 µs, so relayout is not the cost — benchmarks/attn_micro.py). The
+int8-KV path is worse: XLA materializes the int8->bf16 upcast as a separate
+pass (734 µs/op for HALF the bytes).
 
 The kernel streams each stream's K/V rows exactly once in their NATIVE
 (C, H·d) slot-major layout and keeps the math MXU-shaped via the
@@ -24,10 +24,16 @@ head-indicator trick:
                                                   multiply-reduce over V'
 
 Masking/validity matches ops/attention.CausalKVAttention exactly:
-valid = (slot_pos >= 0) & (slot_pos <= qpos), applied as -1e9 before the
-softmax; softmax in f32. int8 KV mode consumes the int8 rows directly
-(VPU upcast inside the streaming pass, per-row scales applied to scores
-and to the PV product exactly like _sdpa_slots).
+valid = (slot_pos >= 0) & (slot_pos <= qpos). The caller precomputes it as
+an additive f32 bias [B, R, 1] (0 or -1e9) — per-row vectors enter the
+kernel with a TRAILING singleton dim because Mosaic's block rule requires
+the last two block dims to divide (8, 128) or equal the array dims; a
+[B, R] row-vector block (1, blk) satisfies neither, while (1, blk, 1)
+does, and a [blk, 1] load broadcasts across lanes for free. int8 KV mode
+consumes the int8 rows directly (the upcast feeds the MXU operand stream —
+the fast path; a VPU int8->f32 unpack measures ~5x slower, bw_probe.py)
+with per-row scales applied to scores and to the PV product exactly like
+_sdpa_slots.
 
 The C dimension is processed in row blocks with a running (max, sum, acc)
 — the standard online-softmax recursion — so any read_limit R (static,
@@ -36,7 +42,10 @@ The C dimension is processed in row blocks with a running (max, sum, acc)
 Numerics vs the XLA oracle (_sdpa_slots): same operand roundings (bf16
 dots, f32 softmax) but different accumulation ORDER (indicator matmul sums
 64 zeros per head term; online softmax rescales) — parity is tested to
-float tolerance, not bitwise (tests/test_batch_attention.py).
+float tolerance, not bitwise (tests/test_batch_attention.py). One edge
+deliberately differs: a stream with ZERO valid rows gets output 0 here vs
+the XLA softmax's uniform average of garbage rows — both are masked-off
+lanes downstream (inactive engine slots).
 
 Dispatched from CausalKVAttention.__call__ for T==1 decode steps at B > 1
 on TPU (POCKET_TTS_BATCH_ATTN=0 opts out); every other path (prefill,
@@ -63,22 +72,21 @@ _NEG_INF = -1e9
 
 def batch_attn_enabled() -> bool:
     """Pallas batched decode attention, default ON for TPU batch decode
-    (measured 575 -> ~400 µs/op bf16 and 734 -> ~250 µs/op int8 at the
-    B=64, C=512 serving shape; see BENCHMARKS.md round-5 'batch attention
-    kernel'). POCKET_TTS_BATCH_ATTN=0 opts out (XLA dot_general path)."""
+    (see BENCHMARKS.md round-5 'batch attention kernel' for the measured
+    win at the B=64, C=512 serving shape). POCKET_TTS_BATCH_ATTN=0 opts
+    out (XLA dot_general path)."""
     return env_flag("POCKET_TTS_BATCH_ATTN", True)
 
 
 def _kernel(
-    qpos_ref,  # [B] int32 scalar-prefetch: per-stream query positions
     qm_ref,  # [1, J, H] f32 — this stream's (q ⊙ M) score operand
-    sp_ref,  # [1, blk] int32 — this block's slot positions
-    k_ref,  # [blk, J] cache dtype (bf16 | int8)
-    v_ref,  # [blk, J]
-    ks_ref,  # [1, blk] f32 per-row K scales (int8 mode; ones otherwise)
-    vs_ref,  # [1, blk] f32 per-row V scales
+    bias_ref,  # [1, blk, 1] f32 — additive mask (0 valid / -1e9 invalid)
+    k_ref,  # [1, blk, J] cache dtype (bf16 | int8)
+    v_ref,  # [1, blk, J]
+    ks_ref,  # [1, blk, 1] f32 per-row K scales (int8 mode; ones otherwise)
+    vs_ref,  # [1, blk, 1] f32 per-row V scales
     mt_ref,  # [H, J] bf16 — Mᵀ head-expansion constant
-    o_ref,  # [8, J] f32 out; row 0 = attention output, rows 1..7 unread
+    o_ref,  # [1, 8, J] f32 out; row 0 = attention output, rows 1..7 unread
     m_s,  # [8, 128] f32 scratch: running max (lanes 0..H-1 of row 0)
     l_s,  # [8, 128] f32 scratch: running denom
     acc_s,  # [8, J] f32 scratch: running numerator (row 0)
@@ -89,7 +97,6 @@ def _kernel(
     scale: float,
     int8_kv: bool,
 ):
-    b = pl.program_id(0)
     c = pl.program_id(1)
     H, d = num_heads, head_dim
     J = H * d
@@ -100,7 +107,7 @@ def _kernel(
         l_s[...] = jnp.zeros_like(l_s)
         acc_s[...] = jnp.zeros_like(acc_s)
 
-    kblk = k_ref[0]  # [blk, J] (block dims keep the leading 1)
+    kblk = k_ref[0]  # [blk, J]
     # Compute dtype mirrors _sdpa_slots: the cache dtype, with int8 rows
     # upcast to bf16 (the upcast feeds the MXU operand stream — the fast
     # int8 path; a VPU int8->f32 unpack measures ~5x slower, bw_probe.py).
@@ -111,20 +118,19 @@ def _kernel(
         kblk.astype(cd), qm_ref[0].astype(cd), preferred_element_type=jnp.float32
     )  # [blk, H]
     if int8_kv:
-        scores = scores * ks_ref[0][:, None]
-    scores = scores * scale
-    valid = (sp_ref[0] >= 0) & (sp_ref[0] <= qpos_ref[b])  # [blk]
-    scores = jnp.where(valid[:, None], scores, _NEG_INF)
+        scores = scores * ks_ref[0]  # [blk, 1] broadcasts across the H lanes
+    bias = bias_ref[0]  # [blk, 1]: 0 valid / -1e9 invalid
+    scores = scores * scale + bias
 
     # Online softmax over the C blocks. m/l live in lanes 0..H-1 of row 0.
     m_prev = m_s[0:1, :H]  # [1, H]
     m_blk = jnp.max(scores, axis=0, keepdims=True)  # [1, H]
     m_new = jnp.maximum(m_prev, m_blk)
     alpha = jnp.exp(m_prev - m_new)  # [1, H]
-    w = jnp.exp(scores - m_new)  # [blk, H]; fully-masked rows -> exp(-inf)=0
-    # Mosaic note: exp(-1e9 - (-1e9)) = exp(0) = 1 would poison fully-masked
-    # blocks, so re-mask after the exp (w is f32; the select is free).
-    w = jnp.where(valid[:, None], w, 0.0)
+    w = jnp.exp(scores - m_new)  # [blk, H]
+    # A fully-masked BLOCK would give exp(-1e9 - (-1e9)) = 1 for every
+    # masked row — re-mask with the bias (w is f32; the select is free).
+    w = jnp.where(bias < -1e8, 0.0, w)
     l_s[0:1, :H] = l_s[0:1, :H] * alpha + jnp.sum(w, axis=0, keepdims=True)
     m_s[0:1, :H] = m_new
 
@@ -136,7 +142,7 @@ def _kernel(
     )  # [blk, J]
     vblk = v_ref[0].astype(jnp.float32)  # [blk, J]
     if int8_kv:
-        vblk = vblk * vs_ref[0][:, None]  # per-row scales, f32 (as _sdpa_slots)
+        vblk = vblk * vs_ref[0]  # per-row scales, f32 (as _sdpa_slots)
     part = jnp.sum(w_exp * vblk, axis=0, keepdims=True)  # [1, J]
     # Head -> lane expansion of the f32 rescale/denominator rows via an f32
     # matmul against the 0/1 indicator: exact (each product is value x 1
@@ -194,12 +200,15 @@ def batch_decode_attention(
     qm = qflat[:, :, None] * m_mat.astype(jnp.float32)[None]  # [B, J, H]
     mt = m_mat.T.astype(jnp.bfloat16)  # [H, J]
 
-    ones = jnp.ones((B, R), jnp.float32)
-    ks = k_scale.astype(jnp.float32) if int8_kv else ones
-    vs = v_scale.astype(jnp.float32) if int8_kv else ones
+    # Validity as an additive f32 bias with a trailing singleton dim (the
+    # Mosaic block rule; module docstring). 128 KB at B=64, C=512 — noise
+    # next to the 134 MB cache read.
+    valid = (slot_pos >= 0) & (slot_pos <= qpos[:, None])
+    bias = jnp.where(valid, 0.0, _NEG_INF).astype(jnp.float32)[:, :, None]
 
-    k2 = k.reshape(B, R, J)
-    v2 = v.reshape(B, R, J)
+    ones = jnp.ones((B, R, 1), jnp.float32)
+    ks = k_scale.astype(jnp.float32)[:, :, None] if int8_kv else ones
+    vs = v_scale.astype(jnp.float32)[:, :, None] if int8_kv else ones
 
     kernel = functools.partial(
         _kernel,
@@ -209,37 +218,32 @@ def batch_decode_attention(
         scale=1.0 / math.sqrt(d),
         int8_kv=int8_kv,
     )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+
+    out = pl.pallas_call(
+        kernel,
         grid=(B, blocks),
         in_specs=[
-            pl.BlockSpec((1, J, H), lambda b, c, _qp: (b, 0, 0)),  # qm
-            pl.BlockSpec((1, blk), lambda b, c, _qp: (b, c)),  # slot_pos
-            pl.BlockSpec((1, blk, J), lambda b, c, _qp: (b, c, 0)),  # k
-            pl.BlockSpec((1, blk, J), lambda b, c, _qp: (b, c, 0)),  # v
-            pl.BlockSpec((1, blk), lambda b, c, _qp: (b, c)),  # k_scale
-            pl.BlockSpec((1, blk), lambda b, c, _qp: (b, c)),  # v_scale
-            pl.BlockSpec((H, J), lambda b, c, _qp: (0, 0)),  # Mᵀ
+            pl.BlockSpec((1, J, H), lambda b, c: (b, 0, 0)),  # qm
+            pl.BlockSpec((1, blk, 1), lambda b, c: (b, c, 0)),  # bias
+            pl.BlockSpec((1, blk, J), lambda b, c: (b, c, 0)),  # k
+            pl.BlockSpec((1, blk, J), lambda b, c: (b, c, 0)),  # v
+            pl.BlockSpec((1, blk, 1), lambda b, c: (b, c, 0)),  # k_scale
+            pl.BlockSpec((1, blk, 1), lambda b, c: (b, c, 0)),  # v_scale
+            pl.BlockSpec((H, J), lambda b, c: (0, 0)),  # Mᵀ
         ],
-        out_specs=pl.BlockSpec((1, 8, J), lambda b, c, _qp: (b, 0, 0)),
+        out_specs=pl.BlockSpec((1, 8, J), lambda b, c: (b, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((8, 128), jnp.float32),  # m_s
             pltpu.VMEM((8, 128), jnp.float32),  # l_s
             pltpu.VMEM((8, J), jnp.float32),  # acc_s
         ],
-    )
-
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, 8, J), jnp.float32),
         interpret=interpret,
     )(
-        qpos.astype(jnp.int32),
         qm,
-        slot_pos,
-        k2.reshape(B, blocks * blk, J),
-        v2.reshape(B, blocks * blk, J),
+        bias,
+        k.reshape(B, R, J),
+        v.reshape(B, R, J),
         ks,
         vs,
         mt,
