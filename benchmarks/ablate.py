@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 
-def build_segment(flow_lm, mimi, lsd_steps, noise_clamp, S, unroll, ablate, read_limit=None):
+def build_segment(flow_lm, mimi, lsd_steps, noise_clamp, S, unroll, ablate, read_limit=None, batch_kernel=False):
     from pocket_tts_tpu.models.generate import decode_mimi_chunk
     from pocket_tts_tpu.ops.linear import linear
     from pocket_tts_tpu.ops.norms import layer_norm
@@ -67,7 +67,7 @@ def build_segment(flow_lm, mimi, lsd_steps, noise_clamp, S, unroll, ablate, read
                 x = linear(seq[:, None, :], fp["input_linear"]["weight"])
                 h, tstate = transformer(
                     fp["transformer"], x, st["transformer"], st["pos"][:, None],
-                    read_limit=read_limit,
+                    read_limit=read_limit, batch_kernel=batch_kernel,
                 )
                 h = layer_norm(
                     h, fp["out_norm"]["weight"], fp["out_norm"]["bias"], eps=1e-5
@@ -122,6 +122,11 @@ def main() -> None:
         "keeps total frames under it so outputs stay valid",
     )
     ap.add_argument(
+        "--batch-attn", action="store_true",
+        help="dispatch the Pallas batched decode-attention kernel "
+        "(ops/batch_attention.py) instead of the XLA dot_general form",
+    )
+    ap.add_argument(
         "--kv", default="", choices=("", "int8"),
         help="int8 = quantized FlowLM KV cache (per-row scales); halves the "
         "cache-read bytes of the read-bound batch decode",
@@ -148,7 +153,8 @@ def main() -> None:
     for ablate in (None, "noflow", "nomimi", "nobackbone", "skeleton"):
         fn = jax.jit(
             build_segment(flow_lm, mimi, model.lsd_decode_steps, model.noise_clamp,
-                          S, args.unroll, ablate, read_limit=args.read_limit or None),
+                          S, args.unroll, ablate, read_limit=args.read_limit or None,
+                          batch_kernel=args.batch_attn),
             donate_argnums=(1, 2, 3),
         )
         state0 = flow_lm.init_state(B, args.capacity, dtype=kv_dt)
