@@ -261,6 +261,7 @@ def bench_sustained(
     rng = np.random.default_rng(seed)
     warm_handles, handles, occupancy = [], [], []
     rejected = 0
+    walls_before = len(engine.tick_walls)
     t0 = time.monotonic()
     t_end = t0 + warmup_s + duration_s
     while True:
@@ -288,9 +289,11 @@ def bench_sustained(
         else np.zeros(1)
     )
     measured = len(handles) + rejected
+    walls = np.asarray(engine.tick_walls[walls_before:])
     return {
         "arrivals": len(handles),
         "rate_hz": rate_hz,
+        "tick_wall_p50_ms": float(np.percentile(walls, 50) * 1000) if walls.size else None,
         "rejected": rejected,
         "rejected_pct": 100.0 * rejected / max(measured, 1),
         "ttfa_p50_ms": float(np.percentile(ttfa, 50) * 1000) if ttfa.size else None,
@@ -500,6 +503,11 @@ def main() -> None:
                     ),
                     "rejected_pct": round(r["rejected_pct"], 1),
                     "occupancy_mean": round(r["occupancy_mean"], 1),
+                    "tick_wall_p50_ms": (
+                        round(r["tick_wall_p50_ms"], 1)
+                        if r.get("tick_wall_p50_ms") is not None
+                        else None
+                    ),
                     "arrivals": r["arrivals"],
                 }
                 for rate, r in sweep["sweep"].items()

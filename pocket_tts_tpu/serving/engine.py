@@ -267,6 +267,11 @@ class TTSEngine:
         self.preemptions = 0  # observability: total parks / resumes so far
         self.resumes = 0
         self.swaps = 0  # fused slot<->lane exchanges (counted in both above)
+        # Tick-wall telemetry (run() loop): seconds per pipelined tick while
+        # any stream is active. The tick wall bounds every latency the
+        # engine can offer (admission wait, TTFA segments, delivery lag are
+        # all counted in ticks), so sustained-load analysis starts here.
+        self.tick_walls: list = []
         if self.preempt:
             # Device-resident parking store: max_parked lanes of slot-shaped
             # state, PLUS one scratch lane (index max_parked) that is never
@@ -336,6 +341,7 @@ class TTSEngine:
         )
         self._just_admitted = False
         self._ticks_since_short = 1 << 30  # first admission is always short
+        self._precompile_gathers()
         self._deferred: list = []  # oversized items awaiting capacity growth
         # No donation on prefill: state leaves may alias (e.g. the
         # batch-common widx scalar is shared across layers after admission),
@@ -347,6 +353,13 @@ class TTSEngine:
                 c["max_gen"], jnp.zeros((1,), c["max_gen"].dtype), (b,)
             )}
         )
+        # Active-slot audio gather: the per-tick device->host audio transfer
+        # ([B, S, 1920] PCM) is the tick-wall floor on link-limited runtimes
+        # (the relay moves ~40 MB/s; a full 64x8 tick is ~2 MB), and every
+        # engine latency is denominated in ticks. At partial occupancy only
+        # the ACTIVE rows are fetched: one jitted row-gather (8-bucketed K,
+        # one tiny executable per (K, S)) cuts the transfer proportionally.
+        self._gather_rows = jax.jit(lambda audio, emit, idxs: (audio[idxs], emit[idxs]))
         self._snapshot = jax.jit(
             lambda c: (
                 c["eos_step"] + 0,
@@ -358,6 +371,23 @@ class TTSEngine:
         self._rng = jax.random.PRNGKey(1234)
 
     # ------------------------------------------------------------ jit bodies
+
+    def _precompile_gathers(self):
+        """Compile every active-row gather program NOW (one per (K bucket,
+        segment length)): an unseen K otherwise compiles at the first
+        partial-occupancy tick, mid-serving. Tiny programs; the persistent
+        compilation cache makes this one-time across processes."""
+        if self.model.mesh is not None:
+            return  # mesh path never gathers (full fetch)
+        audio_dtype = jnp.int16 if self.emit_pcm16 else jnp.float32
+        frame = self.model.mimi.frame_size
+        lengths = {self.first_segment_frames, self.segment_frames}
+        for S in lengths:
+            audio = jnp.zeros((self.num_slots, S, frame), audio_dtype)
+            emit = jnp.zeros((self.num_slots, S), jnp.bool_)
+            for K in range(8, self.num_slots, 8):
+                self._gather_rows(audio, emit, np.zeros((K,), np.int32))
+
 
     def _prefill_fn(self, params, flow_state, tokens, lengths):
         emb = self.model.flow_lm.embed_text(params["flow_lm"], tokens)
@@ -1391,31 +1421,50 @@ class TTSEngine:
         )
         self._written += frames
         # Capture slot ownership at dispatch time: delivery must only touch
-        # the (handle, epoch) pairs that were actually decoding in THIS
-        # segment (a slot may be retired and re-admitted — even with the same
-        # handle, for chunked requests — before delivery under pipelining).
-        handles = [(s.handle, s.epoch) if s.active else None for s in self._slots]
-        for b in range(self.num_slots):
-            if handles[b] is not None:
-                self._pos[b] += frames
+        # the (slot, handle, epoch) triples that were actually decoding in
+        # THIS segment (a slot may be retired and re-admitted — even with the
+        # same handle, for chunked requests — before delivery under
+        # pipelining).
+        rows = [
+            (b, s.handle, s.epoch)
+            for b, s in enumerate(self._slots)
+            if s.active
+        ]
+        for b, _, _ in rows:
+            self._pos[b] += frames
+
+        # Active-slot-only audio fetch (see _gather_rows): at partial
+        # occupancy, gather the active rows on device and transfer just
+        # those — the audio bytes are the tick-wall floor through a
+        # link-limited runtime. Full occupancy (and the mesh path, where a
+        # host-index gather would insert collectives) fetches everything.
+        K = max(8, -(-len(rows) // 8) * 8) if rows else self.num_slots
+        gathered = K < self.num_slots and self.model.mesh is None
+        if gathered:
+            idxs = np.asarray(
+                [b for b, _, _ in rows] + [rows[-1][0]] * (K - len(rows)), np.int32
+            )
+            audio, emit = self._gather_rows(audio, emit, idxs)
+        # gathered: audio/emit row i belongs to rows[i]; else row index = slot.
+        fetch_rows = rows if gathered else None
 
         # Snapshot the carry fields needed for delivery into fresh buffers:
         # the NEXT dispatch donates self.carry, which would delete these.
         eos_step, step, fae, max_gen = self._snapshot(self.carry)
         for dev_arr in (audio, emit, eos_step, step, fae, max_gen):
             dev_arr.copy_to_host_async()
-        return (handles, audio, emit, eos_step, step, fae, max_gen)
+        return (rows, fetch_rows, audio, emit, eos_step, step, fae, max_gen)
 
     def _deliver(self, dispatched) -> int:
         """Fetch a dispatched segment's outputs, push frames, retire slots."""
-        handles, audio, emit, eos_step_d, step_d, fae_d, max_gen_d = dispatched
+        rows, fetch_rows, audio, emit, eos_step_d, step_d, fae_d, max_gen_d = dispatched
         audio_np, emit_np, eos_step, step, fae_np, max_gen_np = jax.device_get(
             (audio, emit, eos_step_d, step_d, fae_d, max_gen_d)
         )
-        for b, entry in enumerate(handles):
-            if entry is None:
-                continue
-            handle, epoch = entry
+        for i, (b, handle, epoch) in enumerate(rows):
+            # Audio/emit row: position i when the dispatch gathered active
+            # rows, slot index b on the full-fetch path.
+            r = i if fetch_rows is not None else b
             if epoch in self._retired_epochs:
                 # Stale segment of an already-retired admission: for normal
                 # completion its emit mask is False anyway; for cancellation
@@ -1437,8 +1486,8 @@ class TTSEngine:
                 continue
             now = time.monotonic()
             for s in range(emit_np.shape[1]):  # short or full segment
-                if emit_np[b, s]:
-                    handle._queue.put(audio_np[b, s])
+                if emit_np[r, s]:
+                    handle._queue.put(audio_np[r, s])
                     handle._frames_delivered += 1
                     if handle._first_frame_time is None:
                         handle._first_frame_time = now
@@ -1487,8 +1536,15 @@ class TTSEngine:
         """
         in_flight = None
         idle_ticks = 0
+        tick_t0 = None
         while True:
             fully_idle = in_flight is None and not any(s.active for s in self._slots)
+            now = time.monotonic()
+            if tick_t0 is not None and not fully_idle:
+                self.tick_walls.append(now - tick_t0)
+                if len(self.tick_walls) > 4096:
+                    del self.tick_walls[:2048]
+            tick_t0 = None if fully_idle else now
             self._admit_pending(block_seconds=0.05 if fully_idle else 0.0)
             short_tick = self._just_admitted  # consumed by _dispatch_segment
             any_active = any(s.active for s in self._slots)
