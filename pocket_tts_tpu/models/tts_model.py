@@ -761,9 +761,11 @@ class TTSModel:
 
     def _batch_attn_ok(self, B: int) -> bool:
         """Static gate for the Pallas batched decode-attention kernel
-        (ops/batch_attention.py): B>1 decode on a single TPU chip. Under a
-        mesh the attention stays on XLA dot_generals (GSPMD partitions
-        those; a pallas_call would need explicit shard_map plumbing).
+        (ops/batch_attention.py): B>1 decode on a single TPU chip, and
+        only when POCKET_TTS_BATCH_ATTN=1 opts in (measured in-context
+        negative result — see batch_attn_enabled). Under a mesh the
+        attention stays on XLA dot_generals (GSPMD partitions those; a
+        pallas_call would need explicit shard_map plumbing).
         POCKET_TTS_FUSED_INTERPRET=1 lets CPU tests drive the production
         dispatch in interpret mode."""
         from pocket_tts_tpu.ops.batch_attention import batch_attn_enabled

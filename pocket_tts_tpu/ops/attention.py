@@ -249,8 +249,9 @@ class CausalKVAttention:
         batch_kernel: bool = False,
     ) -> tuple[jnp.ndarray, State]:
         """batch_kernel (static) routes T==1, B>1 decode steps to the Pallas
-        streaming attention kernel (ops/batch_attention.py) — the XLA
-        dot_general forms are launch-latency bound at Tq=1 (BENCHMARKS.md
+        streaming attention kernel (ops/batch_attention.py) — OPT-IN
+        (POCKET_TTS_BATCH_ATTN=1): the kernel wins standalone but loses
+        ~4× in context at the pallas_call fusion barrier (BENCHMARKS.md
         round-5 batch attention). The caller asserts platform fitness
         (TPU, no mesh); this module additionally requires 128-aligned
         lane/row geometry. Appends and state layout are IDENTICAL either
@@ -305,9 +306,13 @@ class CausalKVAttention:
             from pocket_tts_tpu.ops.batch_attention import batch_decode_attention
             from pocket_tts_tpu.ops.fused_backbone import fused_interpret_enabled
 
+            # FULL cache buffers go to the kernel (its grid stops at R):
+            # passing the k_read/v_read slices would make XLA materialize
+            # them as copies before the pallas_call — in-context that copy
+            # cost 3x the attention itself (see batch_decode_attention).
             out = batch_decode_attention(
-                q, k_read, v_read, sp_read, positions[:, 0],
-                ks_read, vs_read, num_heads=self.num_heads,
+                q, k_cache, v_cache, sp_read, positions[:, 0],
+                ks_read, vs_read, num_heads=self.num_heads, read_rows=R,
                 interpret=fused_interpret_enabled(),
             )
         else:

@@ -48,8 +48,11 @@ the XLA softmax's uniform average of garbage rows — both are masked-off
 lanes downstream (inactive engine slots).
 
 Dispatched from CausalKVAttention.__call__ for T==1 decode steps at B > 1
-on TPU (POCKET_TTS_BATCH_ATTN=0 opts out); every other path (prefill,
-T>1, CPU, B==1 megakernel) is unchanged.
+on TPU when POCKET_TTS_BATCH_ATTN=1 opts in — DEFAULT OFF: standalone the
+kernel wins (497 vs 734 µs/op int8 at B=64, C=512), but in the production
+segment program it loses ~4× (see batch_attn_enabled and BENCHMARKS.md r5
+"batch attention kernel"); every other path (prefill, T>1, CPU, B==1
+megakernel) is unchanged either way.
 
 Reference behavior covered: pocket_tts_mlx/modules/attention.py:108-182
 (causal KV attention semantics) — redesigned as a TPU streaming kernel.
@@ -71,11 +74,16 @@ _NEG_INF = -1e9
 
 
 def batch_attn_enabled() -> bool:
-    """Pallas batched decode attention, default ON for TPU batch decode
-    (see BENCHMARKS.md round-5 'batch attention kernel' for the measured
-    win at the B=64, C=512 serving shape). POCKET_TTS_BATCH_ATTN=0 opts
-    out (XLA dot_general path)."""
-    return env_flag("POCKET_TTS_BATCH_ATTN", True)
+    """Pallas batched decode attention — DEFAULT OFF (measured negative
+    result, kept for the record/microbench). The kernel beats the XLA op
+    STANDALONE (497 vs 734 µs int8 at B=64, C=512) but loses ~4× IN
+    CONTEXT (backbone marginal 6.9 vs 1.69 ms/step bf16, 6.2 vs 1.33
+    int8 — BENCHMARKS.md r5 'batch attention kernel'): the pallas_call is
+    a scheduling/fusion barrier XLA cannot overlap, the same lesson the r1
+    flash-decode kernel taught at B=1. The in-context XLA path already
+    sits AT the chip's measured achievable streaming-read rate.
+    POCKET_TTS_BATCH_ATTN=1 opts in (microbench / future-layout work)."""
+    return env_flag("POCKET_TTS_BATCH_ATTN", False)
 
 
 def _kernel(
@@ -176,18 +184,19 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "block_rows", "interpret")
+    jax.jit, static_argnames=("num_heads", "read_rows", "block_rows", "interpret")
 )
 def batch_decode_attention(
     q: jnp.ndarray,  # [B, H, 1, d] (f32 or bf16) — post-RoPE queries
-    k: jnp.ndarray,  # [B, R, H, d] slot-major cache rows (bf16 | int8)
-    v: jnp.ndarray,  # [B, R, H, d]
-    slot_pos: jnp.ndarray,  # [B, R] int32 (-1 = invalid)
+    k: jnp.ndarray,  # [B, C, H, d] slot-major cache (bf16 | int8), FULL buffer
+    v: jnp.ndarray,  # [B, C, H, d]
+    slot_pos: jnp.ndarray,  # [B, R] int32 (-1 = invalid), R = read_rows or C
     qpos: jnp.ndarray,  # [B] int32 query positions
     k_scale: jnp.ndarray | None = None,  # [B, R] f32 (int8 mode)
     v_scale: jnp.ndarray | None = None,
     *,
     num_heads: int,
+    read_rows: int | None = None,
     block_rows: int = 256,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -195,8 +204,20 @@ def batch_decode_attention(
     [B, H, 1, d] in q's dtype. Caller contract mirrors _sdpa_slots with
     valid = (slot_pos >= 0) & (slot_pos <= qpos) — the decode-step masking
     of CausalKVAttention (the appended row's own position == qpos, so the
-    self-term is included)."""
-    B, R, H, d = k.shape
+    self-term is included).
+
+    read_rows (static): bound the cache rows READ to k[:, :read_rows] —
+    enforced by the GRID (the kernel's index maps never touch rows past
+    it), NOT by slicing the operands. This matters: handing pallas_call a
+    sliced cache (k[:, :R]) forces XLA to MATERIALIZE the slice as a copy
+    before the call — ~2·B·R·J bytes per layer per step, which in-context
+    cost MORE than the whole XLA attention it replaced (measured: B=64
+    backbone marginal 5.5 ms/step vs 1.69 XLA — BENCHMARKS.md r5 batch
+    attention). The full donated cache buffer goes in unchanged; only the
+    tiny per-row operands (bias, scales) are sliced by the caller."""
+    B, C, H, d = k.shape
+    R = C if read_rows is None else int(read_rows)
+    assert R <= C and slot_pos.shape[1] == R, (R, C, slot_pos.shape)
     J = H * d
     int8_kv = k.dtype == jnp.int8
     assert int8_kv == (k_scale is not None and v_scale is not None)
@@ -223,6 +244,10 @@ def batch_decode_attention(
     ones = jnp.ones((B, R, 1), jnp.float32)
     ks = k_scale.astype(jnp.float32)[:, :, None] if int8_kv else ones
     vs = v_scale.astype(jnp.float32)[:, :, None] if int8_kv else ones
+
+    # Collapsing the head dims of the UNSLICED cache is a free bitcast; the
+    # grid bounds the rows actually DMA'd to [:R].
+    k2, v2 = k.reshape(B, C, J), v.reshape(B, C, J)
 
     kernel = functools.partial(
         _kernel,
@@ -256,8 +281,8 @@ def batch_decode_attention(
     )(
         qm,
         bias,
-        k.reshape(B, R, J),
-        v.reshape(B, R, J),
+        k2,
+        v2,
         ks,
         vs,
         mt,

@@ -95,11 +95,35 @@ def test_prefix_masking_exact():
     np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
 
 
+def test_read_rows_grid_bound():
+    """read_rows < C: the kernel gets the FULL cache buffer but its grid
+    must stop at read_rows — rows past it are poisoned NaN/huge and the
+    output must still match an oracle fed only the front R rows."""
+    B, C, R, H, d = 3, 512, 256, 4, 64
+    q, k, v, sp, qpos = _case(B, R, H, d)
+    pad = jnp.full((B, C - R, H, d), jnp.nan, k.dtype)
+    k_full = jnp.concatenate([k, pad], axis=1)
+    v_full = jnp.concatenate([v, pad], axis=1)
+    ref = np.asarray(_oracle(q, k, v, sp, qpos), np.float32)
+    out = np.asarray(
+        batch_decode_attention(
+            q, k_full, v_full, sp, qpos, num_heads=H, read_rows=R,
+            block_rows=128, interpret=True,
+        ),
+        np.float32,
+    )
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
+
+
 def test_production_dispatch_interpret(monkeypatch):
     """The PRODUCTION wiring end-to-end: generate_audio_batch with the
     kernel dispatched (interpret mode; 128-lane geometry so the dispatch
     gate passes) must match the XLA path on the same model."""
     monkeypatch.setenv("POCKET_TTS_FUSED_INTERPRET", "1")
+    # The kernel is a measured in-context negative result, default OFF —
+    # opt in explicitly to exercise the production wiring.
+    monkeypatch.setenv("POCKET_TTS_BATCH_ATTN", "1")
     from pocket_tts_tpu.config.schema import Config
     from pocket_tts_tpu.models.flow_lm import FlowLMModel
     from pocket_tts_tpu.models.mimi import MimiModel
