@@ -4,7 +4,7 @@ Public API mirrors the reference package `pocket_tts_mlx`
 (reference: pocket_tts_mlx/__init__.py:1-7).
 """
 
-__version__ = "0.3.0"
+__version__ = "0.5.0"
 
 from pocket_tts_tpu.models.tts_model import TTSModel
 
