@@ -341,7 +341,6 @@ class TTSEngine:
         )
         self._just_admitted = False
         self._ticks_since_short = 1 << 30  # first admission is always short
-        self._precompile_gathers()
         self._deferred: list = []  # oversized items awaiting capacity growth
         # No donation on prefill: state leaves may alias (e.g. the
         # batch-common widx scalar is shared across layers after admission),
@@ -360,6 +359,7 @@ class TTSEngine:
         # the ACTIVE rows are fetched: one jitted row-gather (8-bucketed K,
         # one tiny executable per (K, S)) cuts the transfer proportionally.
         self._gather_rows = jax.jit(lambda audio, emit, idxs: (audio[idxs], emit[idxs]))
+        self._precompile_gathers()
         self._snapshot = jax.jit(
             lambda c: (
                 c["eos_step"] + 0,

@@ -459,3 +459,16 @@ def test_engine_unbounded_by_default(model, voice):
     engine.run(stop_when_idle=True)
     assert all(h.done for h in handles)
     assert engine.rejected == 0
+
+
+def test_engine_16_slots_precompiles_gathers(model, voice):
+    """Regression: at >=16 slots the constructor's active-row gather
+    precompile loop actually executes (range(8, slots, 8) is non-empty) —
+    it once referenced self._gather_rows before the attribute existed, which
+    small-slot tests never caught. Also run one partial-occupancy tick so
+    the gathered-fetch path itself is exercised at this size."""
+    engine = TTSEngine(model, slots=16, segment_frames=2, capacity=512, text_pad=32)
+    h = engine.submit("Gather precompile regression.", voice, frames_after_eos=2)
+    engine.run(stop_when_idle=True)
+    assert h.done
+    assert h.audio().shape[0] > 0
