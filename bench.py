@@ -308,7 +308,9 @@ SLA_TTFA_P50_MS = 250.0
 SLA_TTFA_P99_MS = 500.0
 
 
-def bench_sustained_sweep(engine, voice, rates=(8.0, 12.0, 16.0, 20.0, 24.0)) -> dict:
+def bench_sustained_sweep(
+    engine, voice, rates=(8.0, 12.0, 16.0, 20.0, 24.0, 32.0, 40.0)
+) -> dict:
     """Arrival-rate sweep -> max sustainable rate at the TTFA SLA.
 
     The engine's pending queue is bounded for the sweep (admission control
@@ -341,51 +343,96 @@ def bench_device_step(model, batch: int, segments: int = 6, S: int = 32) -> floa
     segments (each consumes the previous state, so the device cannot overlap
     them) timed enqueue-to-device_get. Returns ms per frame of device time —
     the number that does NOT swing with tunnel weather (methodology:
-    benchmarks/frame_cost.py / BENCHMARKS.md 'device-only accounting')."""
+    benchmarks/frame_cost.py / BENCHMARKS.md 'device-only accounting').
+
+    Measures the PRODUCTION serving configuration — the C=512 capacity
+    bucket with the same 128-bucketed KV read-limit schedule the pipeline
+    dispatches (tts_model read-limit bucketing; B=1 skips it exactly like
+    production). An earlier version measured C=1024 full-capacity reads,
+    which is the worst-case bucket, not the shipped path, and read ~2x high
+    at batch."""
     import jax.numpy as jnp
 
     from pocket_tts_tpu.models.generate import initial_carry, make_segment_fn
+    from pocket_tts_tpu.models.tts_model import _bucket
+    from pocket_tts_tpu.utils.env import env_flag
 
     flow_lm, mimi = model.flow_lm, model.mimi
-    B = batch
+    B, capacity, prompt_len = batch, 512, 125
     prompt = (
-        jax.random.normal(jax.random.PRNGKey(0), (B, 125, flow_lm.dim), jnp.float32)
+        jax.random.normal(jax.random.PRNGKey(0), (B, prompt_len, flow_lm.dim), jnp.float32)
         * 0.02
     )
-    flow_state = flow_lm.init_state(B, 1024, dtype=model.flow_state_dtype)
-    flow_state = jax.jit(flow_lm.prefill)(
-        model.params["flow_lm"], flow_state, prompt, jnp.full((B,), 125, jnp.int32)
-    )
-    mimi_state = mimi.init_decode_state(B, kv_dtype=model.state_dtype, max_chunk_frames=S)
-    carry = initial_carry(flow_lm, B, [10**6] * B, [10**6] * B)
-    if model.mesh is not None:
-        flow_state = model._place_batch(flow_state, B)
-        mimi_state = model._place_batch(mimi_state, B)
-        carry = model._place_batch(carry, B)
-    seg = jax.jit(
-        make_segment_fn(flow_lm, mimi, model.lsd_decode_steps, model.noise_clamp, S, unroll=4),
-        donate_argnums=(1, 2, 3),
-    )
+    prefill = jax.jit(flow_lm.prefill)
+    lengths = jnp.full((B,), prompt_len, jnp.int32)
+
+    def fresh_state():
+        fs = flow_lm.init_state(B, capacity, dtype=model.flow_state_dtype)
+        fs = prefill(model.params["flow_lm"], fs, prompt, lengths)
+        ms = mimi.init_decode_state(B, kv_dtype=model.state_dtype, max_chunk_frames=S)
+        cr = initial_carry(flow_lm, B, [10**6] * B, [10**6] * B)
+        if model.mesh is not None:
+            fs = model._place_batch(fs, B)
+            ms = model._place_batch(ms, B)
+            cr = model._place_batch(cr, B)
+        # The timed chain must not queue behind an in-flight prefill.
+        jax.block_until_ready(fs)
+        return fs, ms, cr
+
+    flow_state, mimi_state, carry = fresh_state()
+
+    use_read_limit = B > 1 and env_flag("POCKET_TTS_READ_LIMIT", True)
+    seg_fns: dict = {}
+
+    def seg_fn(read_limit):
+        if read_limit not in seg_fns:
+            seg_fns[read_limit] = jax.jit(
+                make_segment_fn(
+                    flow_lm, mimi, model.lsd_decode_steps, model.noise_clamp, S,
+                    unroll=4, read_limit=read_limit,
+                ),
+                donate_argnums=(1, 2, 3),
+            )
+        return seg_fns[read_limit]
+
     rng = jax.random.PRNGKey(1)
     temp, thr = jnp.float32(0.7), jnp.float32(1e9)
-
     def chain(n):
         nonlocal flow_state, mimi_state, carry
+        written = prompt_len  # host-side mirror of the live-row count
         last = None
         for _ in range(n):
-            flow_state, mimi_state, carry, audio, emit, done = seg(
+            written += S
+            limit = None
+            if use_read_limit:
+                r = _bucket(written)
+                limit = r if r < capacity else None
+            flow_state, mimi_state, carry, audio, emit, done = seg_fn(limit)(
                 model.params, flow_state, mimi_state, carry, rng, temp, thr
             )
             last = audio
         return float(jax.device_get(jnp.sum(last[:, -1, -8:])))
 
-    chain(2)  # compile + warm
-    best = float("inf")
-    for _ in range(3):
+    chain(segments)  # compile every bucketed program + warm
+
+    def timed(n):
+        # Fresh prefilled state per run (outside the timed window): each run
+        # replays the SAME bucketed read-limit schedule production
+        # dispatches, and positions never run past the capacity bucket.
+        nonlocal flow_state, mimi_state, carry
+        flow_state, mimi_state, carry = fresh_state()
         t0 = time.monotonic()
-        chain(segments)
-        best = min(best, time.monotonic() - t0)
-    return best * 1000 / (segments * S)
+        chain(n)
+        return time.monotonic() - t0
+
+    # Two-length slope: every timed chain carries ONE constant relay
+    # round-trip (the closing device_get) plus dispatch overhead; the
+    # difference between a short and a long chain cancels it exactly, so
+    # the returned number is pure device step time.
+    n_short = max(1, segments // 3)
+    t_short = min(timed(n_short) for _ in range(3))
+    t_long = min(timed(segments) for _ in range(3))
+    return (t_long - t_short) * 1000 / ((segments - n_short) * S)
 
 
 def bench_batch(model, voice, batch: int, runs: int = 5) -> dict:
@@ -433,7 +480,7 @@ def main() -> None:
     single = bench_single_stream(model, voice)
     streaming = bench_streaming(model, voice)
     ttfa = bench_ttfa(model, voice)
-    device_b1_ms = bench_device_step(model, batch=1)
+    device_b1_ms = bench_device_step(model, batch=1, segments=12)
 
     if BATCH_DTYPE != SINGLE_DTYPE or BATCH_KV_INT8:
         del model

@@ -191,3 +191,35 @@ def test_engine_tick_with_kv_int8(models):
     for h in handles:
         audio = h.audio()
         assert h.done and audio.size > 0 and np.isfinite(audio).all()
+
+
+def test_e2e_int8_weights_plus_int8_kv(models):
+    """Combined mode the batch regime ships: weight-only int8 FlowLM AND
+    int8 KV rows. The two quantizers compound; pin the compound waveform
+    error against the f32 oracle (each alone is pinned elsewhere:
+    test_int8.py / test_e2e_kv_int8_close_to_f32)."""
+    from pocket_tts_tpu.models.weights import quantize_int8
+
+    m, m8 = models
+    mq = TTSModel(
+        flow_lm=m.flow_lm,
+        mimi=m.mimi,
+        params=quantize_int8(m.params),
+        tokenizer=m.tokenizer,
+        temp=0.7,
+        lsd_decode_steps=1,
+        noise_clamp=None,
+        eos_threshold=1e9,
+        config=m.config,
+        seed=0,
+        kv_int8=True,
+    )
+    prompt = jnp.asarray(RNG.standard_normal((1, 12, m.flow_lm.dim)).astype(np.float32))
+    text = "The quick brown fox jumps over the lazy dog."
+    m._rng = jax.random.PRNGKey(7)
+    a = m.generate_audio(m._state_from_prompt(prompt), text, frames_after_eos=2)
+    mq._rng = jax.random.PRNGKey(7)
+    aq = mq.generate_audio(mq._state_from_prompt(prompt), text, frames_after_eos=2)
+    assert a.shape == aq.shape
+    corr = np.corrcoef(np.asarray(a).ravel(), np.asarray(aq).ravel())[0, 1]
+    assert corr > 0.95, f"int8-weights + int8-KV waveform corr {corr}"
