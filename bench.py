@@ -41,13 +41,18 @@ FRAME = 1920
 # Per-regime serving dtype (measured on v5e, see BENCHMARKS.md):
 #  - single stream (B=1) is HBM-bandwidth/latency bound -> weight-only int8
 #    on the per-frame FlowLM reads wins (~15% per frame over bf16).
-#  - batch-64 is KV-cache-READ bound (r4 roofline; weights amortize over the
-#    batch, weight dtype is a wash) -> bf16 weights + int8 KV cache
-#    (per-row scales halve the dominant cache-read bytes).
+#  - batch-64 is HBM-READ bound end to end. With bf16 KV the cache dominated
+#    the bytes and weight dtype was a wash (r4 A/B); with the int8 KV cache
+#    (r4+) the bf16 weights became ~43% of the step's bytes, and the r5
+#    re-A/B at the production config (C=512, R=256, int8 KV) measured int8
+#    weights at -17% full step (2.76 -> 2.29 ms) — so batch now runs
+#    weight-only int8 too. One quantized serving config for both regimes;
+#    compound int8-weights+int8-KV quality pinned by
+#    tests/test_kv_int8.py::test_e2e_int8_weights_plus_int8_kv.
 # Overridable for A/B runs: POCKET_TTS_BENCH_DTYPE forces one dtype for all.
 _FORCED = os.environ.get("POCKET_TTS_BENCH_DTYPE")
 SINGLE_DTYPE = _FORCED or "int8"
-BATCH_DTYPE = _FORCED or "bfloat16"
+BATCH_DTYPE = _FORCED or "int8"
 # int8 KV cache for the batch/engine regimes (measured A/B in BENCHMARKS.md
 # "int8 KV cache"); POCKET_TTS_BENCH_KV_INT8=0 reverts to bf16 KV. Same
 # truthiness convention as every other knob (utils/env.env_flag).
